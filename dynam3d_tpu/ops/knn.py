@@ -1,0 +1,149 @@
+"""Masked k-nearest-neighbor queries over fixed-capacity point tables.
+
+TPU-native replacement for the reference's ``torch_kdtree`` (CUDA kd-tree;
+used at feature_fields.py:246,303,364,540,584,606).  Two observations make a
+kd-tree the wrong tool on TPU:
+
+1. The *instance* table is tiny (<= a few thousand live entries), so the
+   merge-proposal query (k=2/4 nearest instances, feature_fields.py:606) is a
+   single masked distance matmul on the MXU — far cheaper than any tree.
+2. The *ray-render* query (501x144 sample points against the patch table,
+   src_3dff feature_fields.py:540,584) is bandwidth-bound; a tiled scan with a
+   running top-k keeps the working set in VMEM-sized chunks and lets XLA
+   pipeline HBM reads.
+
+Semantics preserved from torch_kdtree / the call sites:
+  - returned distances are SQUARED (the reference sqrt's them explicitly);
+  - invalid/tombstoned slots never win: the reference tombstones deleted
+    entries at position -10000 so they fall out of every radius query
+    (feature_fields.py:357,378); here an explicit validity mask pushes their
+    distance to +inf, which also handles the "gt_dists.sum() > 1e6" dead-slot
+    detection at feature_fields.py:607-610;
+  - neighbors beyond ``radius`` are marked index -1 (":543,587").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_BIG = 1e10
+
+
+def _pairwise_sq_dists(queries: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """Squared Euclidean distances ``[Q,P]`` via the MXU-friendly expansion."""
+    q2 = jnp.sum(queries * queries, axis=-1, keepdims=True)          # [Q,1]
+    p2 = jnp.sum(points * points, axis=-1, keepdims=True).T          # [1,P]
+    # HIGHEST precision is required on TPU: the default bf16 MXU pass loses
+    # ~1e-2 relative on the cross term, which the q2+p2-2ab cancellation
+    # amplifies into metre-scale errors near zero distance.
+    cross = jnp.dot(
+        queries,
+        points.T,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.maximum(q2 + p2 - 2.0 * cross, 0.0)
+
+
+def knn_brute(
+    queries: jnp.ndarray,
+    points: jnp.ndarray,
+    valid: jnp.ndarray,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact k-NN by full distance matrix; use when ``points`` is small.
+
+    Args:
+      queries: ``[Q,3]`` float32.
+      points: ``[P,3]`` float32 table (may contain dead slots).
+      valid: ``[P]`` bool.
+      k: number of neighbors (static).
+
+    Returns:
+      ``(sq_dists [Q,k], indices [Q,k])`` sorted ascending by distance;
+      dead slots surface as distance >= 1e10.
+    """
+    d = _pairwise_sq_dists(queries.astype(jnp.float32), points.astype(jnp.float32))
+    d = jnp.where(valid[None, :], d, _BIG)
+    neg_top, idx = jax.lax.top_k(-d, k)
+    return -neg_top, idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile", "q_chunk"))
+def knn_tiled(
+    queries: jnp.ndarray,
+    points: jnp.ndarray,
+    valid: jnp.ndarray,
+    k: int,
+    tile: int = 2048,
+    q_chunk: int = 4096,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact k-NN with a running top-k over point tiles; for large tables.
+
+    Scans ``points`` in ``tile``-sized chunks per ``q_chunk`` queries so the
+    live distance block stays ~[q_chunk, tile] (VMEM-tileable), instead of
+    materializing the full [Q,P] matrix.
+    """
+    Q = queries.shape[0]
+    P = points.shape[0]
+    qpad = (-Q) % q_chunk
+    ppad = (-P) % tile
+    queries_p = jnp.pad(queries, ((0, qpad), (0, 0)))
+    points_p = jnp.pad(points, ((0, ppad), (0, 0)))
+    valid_p = jnp.pad(valid, (0, ppad))
+    n_tiles = points_p.shape[0] // tile
+    pts_t = points_p.reshape(n_tiles, tile, -1)
+    val_t = valid_p.reshape(n_tiles, tile)
+
+    def per_chunk(qc):
+        init = (
+            jnp.full((q_chunk, k), _BIG, jnp.float32),
+            jnp.full((q_chunk, k), -1, jnp.int32),
+        )
+
+        def body(carry, tile_in):
+            best_d, best_i = carry
+            pts, val, start = tile_in
+            d = _pairwise_sq_dists(qc, pts)
+            d = jnp.where(val[None, :], d, _BIG)
+            ids = start + jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+            cat_d = jnp.concatenate([best_d, d], axis=1)
+            cat_i = jnp.concatenate([best_i, ids], axis=1)
+            neg_top, sel = jax.lax.top_k(-cat_d, k)
+            new_i = jnp.take_along_axis(cat_i, sel, axis=1)
+            return (-neg_top, new_i), None
+
+        starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile
+        (best_d, best_i), _ = jax.lax.scan(body, init, (pts_t, val_t, starts))
+        return best_d, best_i
+
+    qs = queries_p.reshape(-1, q_chunk, queries.shape[-1]).astype(jnp.float32)
+    dists, inds = jax.lax.map(per_chunk, qs)
+    dists = dists.reshape(-1, k)[:Q]
+    inds = inds.reshape(-1, k)[:Q]
+    return dists, inds
+
+
+def radius_mask_fill(
+    sq_dists: jnp.ndarray,
+    indices: jnp.ndarray,
+    radius: float,
+    clamp_dist: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Apply the reference's radius filter: index -> -1 beyond ``radius``.
+
+    Mirrors feature_fields.py:542-544 (sqrt, compare to radius, -1 fill,
+    optionally clamp the distance to ``radius``).  Input distances are
+    squared; returned distances are EUCLIDEAN (sqrt'd), as the reference
+    consumes them post-sqrt.
+    """
+    d = jnp.sqrt(sq_dists)
+    out_of_range = d >= radius
+    idx = jnp.where(out_of_range, -1, indices)
+    if clamp_dist:
+        d = jnp.where(out_of_range, radius, d)
+    return d, idx

@@ -1,0 +1,21 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The environment pre-registers a tunneled TPU backend at interpreter start
+(sitecustomize), so JAX_PLATFORMS env alone is not enough — force the CPU
+platform via jax.config before any backend is instantiated.  The driver
+validates multi-chip sharding the same way (see __graft_entry__.py); tests
+must never require real TPU hardware.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,134 @@
+"""Golden tests for the geometry layer against a literal numpy transcription of
+the reference formulas (feature_fields.py:276-293,296-326,89-115,408-422)."""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from dynam3d_tpu.geom import (
+    frustum_mask_habitat,
+    habitat_to_world,
+    heading_from_positions,
+    patch_3d_info,
+    ray_grid_habitat,
+    unproject_depth_habitat,
+)
+
+H = W = 24
+
+
+def _ref_unproject(depth_map, heading_angle, hfov=90.0, vfov=90.0):
+    """Numpy transcription of project_depth_to_3d_habitat (reference :276-293)."""
+    half_W, half_H = W // 2, H // 2
+    depth_y = depth_map.astype(np.float32)
+    tan_xy = np.array(
+        [i / half_W + 1 / W for i in range(-half_W, half_W)] * H, np.float32
+    ) * math.tan(math.pi * hfov / 360.0)
+    direction = -np.arctan(tan_xy)
+    depth_x = depth_y * tan_xy
+    depth_z = depth_y * (
+        np.array(
+            [[i / half_H - 1 / H for i in range(half_H, -half_H, -1)]] * W,
+            np.float32,
+        ).T.reshape((-1,))
+        * math.tan(math.pi * vfov / 360.0)
+    )
+    scale = depth_y * math.tan(math.pi * hfov / 360.0) * 2.0 / W
+    direction = (direction + heading_angle) % (2 * math.pi)
+    rel_x = depth_x * math.cos(heading_angle) - depth_y * math.sin(heading_angle)
+    rel_y = depth_x * math.sin(heading_angle) + depth_y * math.cos(heading_angle)
+    return rel_x, rel_y, depth_z, direction, scale
+
+
+def test_unproject_matches_reference_formula():
+    rng = np.random.default_rng(0)
+    depth = rng.uniform(0.1, 9.0, size=(H * W,)).astype(np.float32)
+    heading = 0.73
+    got = unproject_depth_habitat(
+        jnp.asarray(depth), jnp.asarray(heading), height=H, width=W
+    )
+    want = _ref_unproject(depth, heading)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), w, rtol=1e-5, atol=1e-5)
+
+
+def test_patch_3d_info_matches_reference_formula():
+    rng = np.random.default_rng(1)
+    depth = rng.uniform(0.1, 9.0, size=(H * W,)).astype(np.float32)
+    x, y, z, d, s = patch_3d_info(jnp.asarray(depth), height=H, width=W)
+    rx, ry, rz, rd, rs = _ref_unproject(depth, 0.0)
+    np.testing.assert_allclose(np.asarray(x), rx, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(y), ry, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(z), rz, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(d), rd, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s), rs, rtol=1e-5)
+
+
+def test_habitat_axis_swap():
+    p = jnp.asarray([1.0, 2.0, 3.0])
+    np.testing.assert_allclose(np.asarray(habitat_to_world(p)), [1.0, -3.0, 2.0])
+
+
+def test_heading_from_positions():
+    pos = np.array([[0.0, 1.0, 0.0], [1.0, 0.0, 0.0], [0.0, -1.0, 0.0]], np.float32)
+    h = np.asarray(heading_from_positions(jnp.asarray(pos)))
+    np.testing.assert_allclose(h[0], 0.0, atol=1e-6)
+    np.testing.assert_allclose(h[1], -math.pi / 2, atol=1e-6)
+    # dy < 0 branch: -arcsin(0) - pi
+    np.testing.assert_allclose(h[2], -math.pi, atol=1e-6)
+
+
+def test_frustum_mask_basic_visibility():
+    # camera at origin looking along +y (heading 0); depth wall at 2.5 m
+    depth_map = jnp.full((H, W), 2.5, jnp.float32)
+    pts = jnp.asarray(
+        [
+            [0.0, 1.0, 0.0],   # in front, visible
+            [0.0, -1.0, 0.0],  # behind
+            [0.0, 2.8, 0.0],   # beyond wall + slack -> occluded
+            [0.0, 2.55, 0.0],  # within slack of wall -> visible
+            [10.0, 1.0, 0.0],  # far outside fov
+        ],
+        jnp.float32,
+    )
+    mask = frustum_mask_habitat(
+        pts,
+        depth_map,
+        jnp.zeros(3),
+        jnp.asarray(0.0),
+        height=H,
+        width=W,
+        far=3.0,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mask), [True, False, False, True, False]
+    )
+
+
+def test_frustum_mask_rotates_with_heading():
+    depth_map = jnp.full((H, W), 9.0, jnp.float32)
+    pt = jnp.asarray([[-1.0, 0.0, 0.0]], jnp.float32)  # along -x
+    # heading pi/2 turns the camera towards -x in this convention or the other;
+    # one of +-pi/2 must see it, heading 0 must not.
+    see0 = frustum_mask_habitat(
+        pt, depth_map, jnp.zeros(3), jnp.asarray(0.0), height=H, width=W, far=10.0
+    )
+    seep = frustum_mask_habitat(
+        pt, depth_map, jnp.zeros(3), jnp.asarray(math.pi / 2), height=H, width=W, far=10.0
+    )
+    seem = frustum_mask_habitat(
+        pt, depth_map, jnp.zeros(3), jnp.asarray(-math.pi / 2), height=H, width=W, far=10.0
+    )
+    assert not bool(see0[0])
+    assert bool(seep[0]) != bool(seem[0])
+
+
+def test_ray_grid_shapes_and_monotonic_depth():
+    (rx, ry, rz), rdir, rdist = ray_grid_habitat(
+        height=12, width=12, n_samples=51, near=0.0, far=10.0
+    )
+    assert rx.shape == (144, 51) and rdir.shape == (144, 1)
+    assert np.all(np.diff(rdist, axis=-1) > 0)
+    np.testing.assert_allclose(rdist[:, 0], 0.0)
+    np.testing.assert_allclose(rdist[:, -1], 10.0)

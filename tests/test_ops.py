@@ -1,0 +1,122 @@
+"""Tests for masked k-NN, segment reductions, free-slot allocation, and NMS."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from dynam3d_tpu.ops import (
+    first_free_slots,
+    heatmap_nms,
+    knn_brute,
+    knn_tiled,
+    radius_mask_fill,
+    segment_mean,
+)
+from dynam3d_tpu.ops.segment import free_slot_ok
+
+
+def _np_knn(q, p, valid, k):
+    d = ((q[:, None, :] - p[None, :, :]) ** 2).sum(-1)
+    d[:, ~valid] = 1e10
+    idx = np.argsort(d, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(d, idx, axis=1), idx
+
+
+def test_knn_brute_matches_numpy():
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(37, 3)).astype(np.float32)
+    p = rng.normal(size=(101, 3)).astype(np.float32)
+    valid = rng.uniform(size=101) > 0.3
+    want_d, want_i = _np_knn(q, p, valid, 4)
+    got_d, got_i = knn_brute(jnp.asarray(q), jnp.asarray(p), jnp.asarray(valid), 4)
+    np.testing.assert_allclose(np.asarray(got_d), want_d, rtol=1e-4, atol=1e-4)
+    # indices may differ on exact ties; compare distances at indices instead
+    d_at = np.take_along_axis(
+        ((q[:, None, :] - p[None, :, :]) ** 2).sum(-1), np.asarray(got_i), axis=1
+    )
+    np.testing.assert_allclose(d_at, want_d, rtol=1e-4, atol=1e-4)
+
+
+def test_knn_tiled_matches_brute():
+    rng = np.random.default_rng(1)
+    q = rng.normal(size=(333, 3)).astype(np.float32)
+    p = rng.normal(size=(5000, 3)).astype(np.float32)
+    valid = rng.uniform(size=5000) > 0.1
+    bd, _ = knn_brute(jnp.asarray(q), jnp.asarray(p), jnp.asarray(valid), 4)
+    td, _ = knn_tiled(
+        jnp.asarray(q), jnp.asarray(p), jnp.asarray(valid), 4, tile=512, q_chunk=128
+    )
+    np.testing.assert_allclose(np.asarray(td), np.asarray(bd), rtol=1e-4, atol=1e-4)
+
+
+def test_knn_all_invalid_gives_big_dists():
+    q = jnp.zeros((5, 3))
+    p = jnp.ones((10, 3))
+    d, i = knn_brute(q, p, jnp.zeros(10, bool), 2)
+    assert np.all(np.asarray(d) >= 1e9)
+
+
+def test_radius_mask_fill():
+    sq = jnp.asarray([[0.25, 4.0]])
+    idx = jnp.asarray([[3, 7]])
+    d, i = radius_mask_fill(sq, idx, radius=1.0, clamp_dist=True)
+    np.testing.assert_allclose(np.asarray(d), [[0.5, 1.0]])
+    np.testing.assert_array_equal(np.asarray(i), [[3, -1]])
+
+
+def test_segment_mean():
+    vals = jnp.asarray([[1.0], [3.0], [5.0], [7.0]])
+    ids = jnp.asarray([0, 0, 2, 2])
+    means, counts = segment_mean(vals, ids, 3)
+    np.testing.assert_allclose(np.asarray(means)[:, 0], [2.0, 0.0, 6.0])
+    np.testing.assert_array_equal(np.asarray(counts), [2, 0, 2])
+
+
+def test_first_free_slots_reuses_smallest_ids():
+    valid = jnp.asarray([True, False, True, False, False, True])
+    slots = first_free_slots(valid, 3)
+    np.testing.assert_array_equal(np.asarray(slots), [1, 3, 4])
+    # overflow: only 3 free, ask for 5 -> tail gets sentinel C-1
+    slots = first_free_slots(valid, 5)
+    np.testing.assert_array_equal(np.asarray(slots), [1, 3, 4, 5, 5])
+    assert bool(free_slot_ok(valid, 3)) and not bool(free_slot_ok(valid, 4))
+
+
+def test_first_free_slots_empty_table():
+    valid = jnp.zeros(8, bool)
+    slots = first_free_slots(valid, 4)
+    np.testing.assert_array_equal(np.asarray(slots), [0, 1, 2, 3])
+
+
+def _ref_nms(pred, max_predictions, sigma):
+    """Numpy transcription of waypoint_pred/utils.py:37-64 (rectangular)."""
+    B, H, W = pred.shape
+    flat_pred = pred.reshape(B, -1).copy()
+    supp = pred.copy()
+    out = np.zeros((B, H * W), np.float32)
+    for _ in range(max_predictions):
+        fs = supp.reshape(B, -1)
+        ix = fs.argmax(1)
+        out[np.arange(B), ix] = flat_pred[np.arange(B), ix]
+        y = ix / W  # true division, as in the reference
+        x = ix % W
+        xs = np.arange(W, dtype=np.float32)[None, None, :]
+        ys = np.arange(H, dtype=np.float32)[None, :, None]
+        x_diff = xs - x[:, None, None]
+        x_diff = np.minimum(np.abs(x_diff), np.abs(x_diff + W))
+        y_diff = ys - y[:, None, None]
+        g = ((np.abs(x_diff) <= sigma[0]) & (np.abs(y_diff) <= sigma[1])).astype(
+            np.float32
+        )
+        supp = supp * (1 - g)
+    out = out.reshape(B, H, W)
+    out[out < 0] = 0
+    return out
+
+
+def test_heatmap_nms_matches_reference():
+    rng = np.random.default_rng(2)
+    pred = rng.uniform(size=(2, 122, 12)).astype(np.float32)
+    want = _ref_nms(pred, 5, (7.0, 5.0))
+    got = np.asarray(heatmap_nms(jnp.asarray(pred), 5, (7.0, 5.0)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    assert (got > 0).sum() <= 5 * 2
