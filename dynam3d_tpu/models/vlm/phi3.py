@@ -1,0 +1,227 @@
+"""Phi-3-mini decoder in functional JAX with KV-cache prefill/decode.
+
+The reference's action policy is HF ``LlavaForConditionalGeneration`` over
+``xtuner/llava-phi-3-mini-hf`` (Policy_Dynam3D_VLN.py:113-131): a Phi-3-mini
+language model consuming spliced multimodal embeddings, teacher-forced at
+train time (":401") and greedy-decoded at eval (":463",
+``max_new_tokens=20, do_sample=False``).
+
+Architecture (HF Phi3ForCausalLM): RMSNorm, fused qkv_proj / gate_up_proj,
+SiLU-gated MLP, full-head RoPE (theta 1e4), tied-nothing lm_head.
+
+TPU design: static-shape prefill over bucketed prompt lengths; decode as a
+``lax.fori_loop`` over ``max_new_tokens`` with a preallocated KV cache
+``[L,B,T,heads,hd]`` — one compiled program per (bucket, batch) pair.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dynam3d_tpu.config import Phi3Config
+
+Params = Dict[str, Any]
+
+
+def rms_norm(w: jnp.ndarray, x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps) * w).astype(x.dtype)
+
+
+def _rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """Rotary embedding over the full head dim (HF Phi-3 convention:
+    rotate_half pairs (i, i+hd/2))."""
+    *_, T, H, hd = x.shape
+    half = hd // 2
+    freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    ang = positions[..., :, None].astype(jnp.float32) * freqs  # [...,T,half]
+    cos = jnp.cos(ang)[..., :, None, :]
+    sin = jnp.sin(ang)[..., :, None, :]
+    x1, x2 = x[..., :half], x[..., half:]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    out1 = xf1 * cos - xf2 * sin
+    out2 = xf2 * cos + xf1 * sin
+    return jnp.concatenate([out1, out2], axis=-1).astype(x.dtype)
+
+
+class KVCache(NamedTuple):
+    k: jnp.ndarray  # [L,B,T,H,hd]
+    v: jnp.ndarray
+
+
+def init_cache(cfg: Phi3Config, batch: int, max_len: int, dtype=jnp.bfloat16) -> KVCache:
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def _layer(
+    p: Params,
+    cfg: Phi3Config,
+    x: jnp.ndarray,              # [B,T,D]
+    positions: jnp.ndarray,      # [B,T]
+    kv_k: jnp.ndarray,           # [B,Tc,H,hd] cache for this layer
+    kv_v: jnp.ndarray,
+    write_at: jnp.ndarray,       # scalar start index to write new kv
+    attn_mask: jnp.ndarray,      # [B,T,Tc] True = attend
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    B, T, D = x.shape
+    H, hd = cfg.num_heads, cfg.head_dim
+    h = rms_norm(p["input_ln"], x, cfg.rms_eps)
+    qkv = jnp.dot(h, p["qkv"], preferred_element_type=jnp.float32).astype(x.dtype)
+    q_sz = H * hd
+    kv_sz = cfg.num_kv_heads * hd
+    q = qkv[..., :q_sz].reshape(B, T, H, hd)
+    k = qkv[..., q_sz : q_sz + kv_sz].reshape(B, T, cfg.num_kv_heads, hd)
+    v = qkv[..., q_sz + kv_sz :].reshape(B, T, cfg.num_kv_heads, hd)
+    q = _rope(q, positions, cfg.rope_theta)
+    k = _rope(k, positions, cfg.rope_theta)
+
+    kv_k = jax.lax.dynamic_update_slice(kv_k, k, (0, write_at, 0, 0))
+    kv_v = jax.lax.dynamic_update_slice(kv_v, v, (0, write_at, 0, 0))
+
+    group = H // cfg.num_kv_heads
+    kk = jnp.repeat(kv_k, group, axis=2) if group > 1 else kv_k
+    vv = jnp.repeat(kv_v, group, axis=2) if group > 1 else kv_v
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, kk, preferred_element_type=jnp.float32)
+    logits = logits / math.sqrt(hd)
+    logits = jnp.where(attn_mask[:, None, :, :], logits, jnp.finfo(jnp.float32).min)
+    attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", attn, vv, preferred_element_type=jnp.float32)
+    o = o.reshape(B, T, H * hd).astype(x.dtype)
+    x = x + jnp.dot(o, p["o"], preferred_element_type=jnp.float32).astype(x.dtype)
+
+    h = rms_norm(p["post_ln"], x, cfg.rms_eps)
+    gate_up = jnp.dot(h, p["gate_up"], preferred_element_type=jnp.float32).astype(x.dtype)
+    gate, up = jnp.split(gate_up, 2, axis=-1)
+    h = jax.nn.silu(gate) * up
+    x = x + jnp.dot(h, p["down"], preferred_element_type=jnp.float32).astype(x.dtype)
+    return x, kv_k, kv_v
+
+
+def forward(
+    params: Params,
+    cfg: Phi3Config,
+    embeds: jnp.ndarray,          # [B,T,D] input embeddings (post-splice)
+    positions: jnp.ndarray,       # [B,T] rope positions
+    cache: KVCache,
+    write_at,                     # int/scalar: cache slot of embeds[:,0]
+    attn_mask: jnp.ndarray,       # [B,T,Tc]
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Run the decoder stack; returns logits ``[B,T,V]`` and updated cache."""
+    x = embeds
+    ks, vs = [], []
+    for li in range(cfg.num_layers):
+        x, k_l, v_l = _layer(
+            params["layers"][li], cfg, x, positions,
+            cache.k[li], cache.v[li], write_at, attn_mask,
+        )
+        ks.append(k_l)
+        vs.append(v_l)
+    x = rms_norm(params["final_ln"], x, cfg.rms_eps)
+    logits = jnp.dot(x, params["lm_head"], preferred_element_type=jnp.float32)
+    return logits, KVCache(jnp.stack(ks), jnp.stack(vs))
+
+
+def embed(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
+    return params["embed_tokens"][ids]
+
+
+def prefill_mask(attn_valid: jnp.ndarray, cache_len: int) -> jnp.ndarray:
+    """Causal+padding mask for prefill: ``[B,T]`` valid -> ``[B,T,Tc]``."""
+    B, T = attn_valid.shape
+    causal = jnp.tril(jnp.ones((T, T), bool))
+    m = causal[None] & attn_valid[:, None, :] & attn_valid[:, :, None]
+    if cache_len > T:
+        pad = jnp.zeros((B, T, cache_len - T), bool)
+        m = jnp.concatenate([m, pad], axis=-1)
+    return m
+
+
+def greedy_decode(
+    params: Params,
+    cfg: Phi3Config,
+    embeds: jnp.ndarray,           # [B,T] prompt embeddings (padded LEFT or RIGHT)
+    attn_valid: jnp.ndarray,       # [B,T] bool
+    max_new_tokens: int,
+    stop_token: Optional[int] = None,
+) -> jnp.ndarray:
+    """Greedy generation (``llava.generate(max_new_tokens=20, do_sample=False)``,
+    Policy_Dynam3D_VLN.py:463).  Right-padded prompts; each row starts decoding
+    after its own last valid position.
+
+    Returns generated ids ``[B, max_new_tokens]`` (stop token included,
+    padded with ``pad_token_id`` after stop).
+    """
+    B, T, D = embeds.shape
+    total = T + max_new_tokens
+    cache = init_cache(cfg, B, total, dtype=embeds.dtype)
+    positions = jnp.cumsum(attn_valid.astype(jnp.int32), axis=1) - 1
+    positions = jnp.maximum(positions, 0)
+    mask = prefill_mask(attn_valid, total)
+    logits, cache = forward(params, cfg, embeds, positions, cache, 0, mask)
+    # last valid position per row
+    last = jnp.sum(attn_valid.astype(jnp.int32), axis=1) - 1
+    next_tok = jnp.argmax(logits[jnp.arange(B), last], axis=-1)
+
+    stop = cfg.end_token_id if stop_token is None else stop_token
+    out0 = jnp.full((B, max_new_tokens), cfg.pad_token_id, jnp.int32)
+    done0 = next_tok == stop
+
+    def body(i, carry):
+        cache, tok, done, out, valid = carry
+        out = out.at[:, i].set(tok.astype(jnp.int32))
+        e = embed(params, tok)[:, None, :].astype(embeds.dtype)
+        pos = (jnp.sum(valid, axis=1) - 1)[:, None]
+        m = valid[:, None, :]
+        logits, cache = forward(params, cfg, e, pos, cache, T + i, m)
+        nxt = jnp.argmax(logits[:, 0], axis=-1)
+        done = done | (tok == stop)
+        nxt = jnp.where(done, stop, nxt)
+        # open the cache slot for the next token (clamped no-op on last step)
+        valid = valid.at[:, T + i + 1].set(True)
+        return cache, nxt, done, out, valid
+
+    # extend validity over generated slots
+    valid0 = jnp.concatenate(
+        [attn_valid, jnp.zeros((B, max_new_tokens), bool)], axis=1
+    )
+    valid0 = valid0.at[:, T].set(True)
+
+    # positions for decode derive from per-row valid counts; write first token
+    carry = (cache, next_tok, done0, out0, valid0)
+    carry = jax.lax.fori_loop(0, max_new_tokens, body, carry)
+    return carry[3]
+
+
+def _dense_init(key, d_in, d_out, std=0.02):
+    return jax.random.normal(key, (d_in, d_out), jnp.float32) * std
+
+
+def init_phi3_params(key: jax.Array, cfg: Phi3Config, dtype=jnp.bfloat16) -> Params:
+    D = cfg.hidden_size
+    keys = jax.random.split(key, cfg.num_layers + 3)
+    q_sz = cfg.num_heads * cfg.head_dim
+    kv_sz = cfg.num_kv_heads * cfg.head_dim
+
+    def layer(k):
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        return {
+            "input_ln": jnp.ones((D,), jnp.float32),
+            "qkv": _dense_init(k1, D, q_sz + 2 * kv_sz).astype(dtype),
+            "o": _dense_init(k2, q_sz, D).astype(dtype),
+            "post_ln": jnp.ones((D,), jnp.float32),
+            "gate_up": _dense_init(k3, D, 2 * cfg.intermediate_size).astype(dtype),
+            "down": _dense_init(k4, cfg.intermediate_size, D).astype(dtype),
+        }
+
+    return {
+        "embed_tokens": _dense_init(keys[0], cfg.vocab_size, D).astype(dtype),
+        "layers": [layer(k) for k in keys[1 : cfg.num_layers + 1]],
+        "final_ln": jnp.ones((D,), jnp.float32),
+        "lm_head": _dense_init(keys[-1], D, cfg.vocab_size).astype(dtype),
+    }

@@ -91,14 +91,15 @@ def encoder_layer(
     key_padding_mask: Optional[jnp.ndarray] = None,
     activation: str = "gelu",
     attn_mask: Optional[jnp.ndarray] = None,
+    ln_eps: float = 1e-5,
 ) -> jnp.ndarray:
     """Post-norm (``norm_first=False``) ``nn.TransformerEncoderLayer``."""
     a = mha(p["attn"], x, num_heads, key_padding_mask, attn_mask)
-    x = layer_norm(p["ln1"], x + a)
+    x = layer_norm(p["ln1"], x + a, eps=ln_eps)
     # exact (erf) GELU — PyTorch nn.GELU / TransformerEncoderLayer default
     act = (lambda t: jax.nn.gelu(t, approximate=False)) if activation == "gelu" else jax.nn.relu
     h = _dense(p["ff2"], act(_dense(p["ff1"], x)))
-    return layer_norm(p["ln2"], x + h)
+    return layer_norm(p["ln2"], x + h, eps=ln_eps)
 
 
 def encoder_stack(
