@@ -1,0 +1,170 @@
+"""Benchmark: p50 per-step RGB-D -> action latency of the Dynam3D VLN stack.
+
+Measures the BASELINE.json north stars on the real chip:
+  - p50 per-step RGB-D -> action latency (perceive + prompt + greedy decode)
+  - RGB-D frames/sec -> 3D tokens (perceive only), reported in "extra"
+
+The reference publishes no latency numbers (BASELINE.md), so ``vs_baseline``
+is the ratio of a locally recorded reference measurement
+(``bench_baseline.json``: {"p50_step_latency_ms": ...}) to ours when that
+file exists, else 1.0.
+
+Scale: DYNAM3D_BENCH_SCALE=full (default) runs CLIP-L/14-336 towers at full
+dims with a reduced-depth LLM; =tiny runs the CI config.  Weights are random
+(timing is weight-independent); the memory tables run at full capacity.
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _sync(y):
+    """Force completion: jax.block_until_ready is a NO-OP on the axon tunnel
+    backend, so completion is observed via a tiny device->host transfer."""
+    leaf = None
+    import jax
+
+    for l in jax.tree_util.tree_leaves(y):
+        leaf = l
+        break
+    return np.asarray(leaf.ravel()[0:1])
+
+
+def _config(scale: str):
+    from dynam3d_tpu.config import (
+        CLIPConfig,
+        Dynam3DConfig,
+        FieldsConfig,
+        LLaVAConfig,
+        Phi3Config,
+    )
+
+    if scale == "tiny":
+        return Dynam3DConfig(
+            fields=FieldsConfig(
+                input_height=4, input_width=4, fts_dim=64,
+                patch_capacity=256, instance_capacity=64, zone_capacity=32,
+                max_segments=8, max_members=32, max_zone_members=16,
+            ),
+            clip=CLIPConfig(
+                image_size=56, patch_size=14, vision_width=64, vision_layers=2,
+                vision_heads=2, embed_dim=64, text_context=16, text_width=32,
+                text_layers=1, text_heads=2, vocab_size=64,
+            ),
+            llava=LLaVAConfig(
+                phi3=Phi3Config(
+                    vocab_size=512, hidden_size=64, intermediate_size=128,
+                    num_layers=2, num_heads=2, num_kv_heads=2, head_dim=32,
+                    pad_token_id=260, end_token_id=257,
+                ),
+                projector_hidden=64, prefill_bucket=64, max_new_tokens=8,
+            ),
+        )
+    # full dims; LLM depth via env (32 = full Phi-3-mini)
+    n_layers = int(os.environ.get("DYNAM3D_BENCH_LLM_LAYERS", "8"))
+    return Dynam3DConfig(
+        fields=FieldsConfig(
+            patch_capacity=32768, instance_capacity=2048, zone_capacity=1024,
+            max_segments=64, max_members=512, max_zone_members=128,
+        ),
+        llava=LLaVAConfig(phi3=Phi3Config(num_layers=n_layers), max_new_tokens=20),
+    )
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dynam3d_tpu.models import policy as policy_mod
+    from dynam3d_tpu.runtime.episode import EpisodeRunner
+    from dynam3d_tpu.runtime.feed import SyntheticRoomFeed
+
+    scale = os.environ.get("DYNAM3D_BENCH_SCALE", "full")
+    steps = int(os.environ.get("DYNAM3D_BENCH_STEPS", "12"))
+    cfg = _config(scale)
+
+    params = policy_mod.init_policy_params(jax.random.PRNGKey(0), cfg)
+    runner = EpisodeRunner(params, cfg)
+    rgb_size = cfg.clip.image_size
+    depth_size = 256 if scale == "full" else 32
+    feed = SyntheticRoomFeed(rgb_size=rgb_size, depth_size=depth_size, views=1)
+
+    obs = feed.reset()
+    state = policy_mod.batched_init_state(cfg, 1)
+
+    def one_step(state, obs, hist):
+        rgb = jnp.asarray(obs.rgb[None])
+        depth = jnp.asarray(obs.depth[None])
+        pos = jnp.asarray(obs.position[None])
+        hd = jnp.asarray(np.float32([obs.heading]))
+        out = runner._perceive(params, state, rgb, depth, pos, hd)
+        ids, tvalid, _ = runner._prompt_ids([obs.instruction], [hist])
+        gen = runner._generate(params, ids, tvalid, out.mm_tokens, out.mm_valid)
+        _sync(gen)
+        return out, gen
+
+    hist = ["none\n"] * 4
+    # warmup / compile
+    t0 = time.time()
+    out, gen = one_step(state, obs, hist)
+    compile_s = time.time() - t0
+
+    lat, perc = [], []
+    for k in range(steps):
+        t0 = time.time()
+        o = runner._perceive(
+            params, out.state,
+            jnp.asarray(obs.rgb[None]), jnp.asarray(obs.depth[None]),
+            jnp.asarray(obs.position[None]), jnp.asarray(np.float32([obs.heading])),
+        )
+        _sync(o.mm_valid)
+        t1 = time.time()
+        ids, tvalid, _ = runner._prompt_ids([obs.instruction], [hist])
+        g = runner._generate(params, ids, tvalid, o.mm_tokens, o.mm_valid)
+        _sync(g)
+        t2 = time.time()
+        perc.append(t1 - t0)
+        lat.append(t2 - t0)
+        out = o
+        obs, _, _ = feed.step((0.1, 0.25))
+
+    p50_ms = float(np.percentile(lat, 50) * 1000.0)
+    perc_p50 = float(np.percentile(perc, 50) * 1000.0)
+    fps = 1000.0 / perc_p50
+
+    vs = 1.0
+    if os.path.exists("bench_baseline.json"):
+        base = json.load(open("bench_baseline.json"))
+        if base.get("p50_step_latency_ms"):
+            vs = float(base["p50_step_latency_ms"]) / p50_ms
+
+    print(
+        json.dumps(
+            {
+                "metric": "p50_step_latency_ms",
+                "value": round(p50_ms, 2),
+                "unit": "ms",
+                "vs_baseline": round(vs, 3),
+                "extra": {
+                    "rgbd_to_3d_tokens_fps": round(fps, 2),
+                    "perceive_p50_ms": round(perc_p50, 2),
+                    "compile_s": round(compile_s, 1),
+                    "scale": scale,
+                    "llm_layers": cfg.llava.phi3.num_layers,
+                    "backend": jax.default_backend(),
+                    "steps": steps,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

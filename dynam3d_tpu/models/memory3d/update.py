@@ -355,9 +355,12 @@ def delete_from_frustum(
     that lost all instances.
     """
     P, I = cfg.patch_capacity, cfg.instance_capacity
+    # the reference culls against the FULL-RES depth map (256x256 in VLN,
+    # Policy_Dynam3D_VLN.py:350) — intrinsics derive from the map's shape
+    dh, dw = depth.shape
     doomed = frustum_mask_habitat(
         state.patch_pos, depth, position, heading,
-        height=cfg.input_height, width=cfg.input_width,
+        height=dh, width=dw,
         hfov_deg=cfg.input_hfov, vfov_deg=cfg.input_vfov,
         near=0.0, far=cfg.deleted_frustum_distance,
         depth_slack=cfg.frustum_depth_slack,

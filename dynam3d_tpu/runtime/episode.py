@@ -1,0 +1,161 @@
+"""Closed-loop episode driver: host feed <-> device policy step.
+
+The TPU redesign of the reference's rollout (ss_trainer_Dynam3D.py:564-822):
+the host owns tokenization, action-text parsing, history strings, and the
+feed; the device owns perception, the 3D memory and the VLM.  Two compiled
+programs run per step (perceive, generate) — all heavy state stays on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynam3d_tpu.config import Dynam3DConfig
+from dynam3d_tpu.models import policy as policy_mod
+from dynam3d_tpu.models.policy import I_ENV, Z_ENV
+from dynam3d_tpu.models.vlm.tokenizer import ByteTokenizer, build_prompt
+from dynam3d_tpu.runtime.feed import Feed, Observation, STOP
+from dynam3d_tpu.utils.actions import (
+    EpisodeActionState,
+    gt_text as make_gt_text,
+    parse_action,
+)
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+class EpisodeRunner:
+    """Runs one (or a batch of) VLN episode(s) closed-loop.
+
+    Args:
+      params: policy params (init_policy_params or converted weights).
+      cfg: full config.
+      tokenizer: ByteTokenizer/HFTokenizer; splice offset is derived from the
+        first <image> position it produces.
+    """
+
+    def __init__(self, params, cfg: Dynam3DConfig, tokenizer=None, views: int = 1):
+        self.params = params
+        self.cfg = cfg
+        self.tok = tokenizer or ByteTokenizer(cfg.llava.phi3.vocab_size)
+        self.views = views
+        self.n_mm = views * cfg.fields.input_height * cfg.fields.input_width + I_ENV + Z_ENV
+        probe = self.tok.encode(build_prompt("x", ["none\n"] * 4, 1))
+        self.splice_start = probe.index(self.tok.image_id)
+
+        self._perceive = jax.jit(
+            lambda p, st, rgb, d, pos, hd: policy_mod.perceive(
+                p, cfg, st, rgb, d, pos, hd
+            )
+        )
+        self._generate = jax.jit(
+            lambda p, ids, tv, mm, mv: policy_mod.generate_action_ids(
+                p, cfg, ids, tv, mm, mv, self.splice_start
+            )
+        )
+
+    # ------------------------------------------------------------------
+    def _prompt_ids(
+        self, instructions: Sequence[str], histories: Sequence[List[str]],
+        gt_texts: Optional[Sequence[str]] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, np.ndarray]:
+        """Tokenize prompts to a bucketed [B,T]; <image> span is static."""
+        B = len(instructions)
+        rows = []
+        for b in range(B):
+            text = build_prompt(
+                instructions[b], histories[b], self.n_mm,
+                gt_texts[b] if gt_texts else "",
+            )
+            rows.append(self.tok.encode(text))
+        maxlen = max(len(r) for r in rows)
+        T = _round_up(maxlen, self.cfg.llava.prefill_bucket)
+        ids = np.full((B, T), self.tok.pad_id, np.int32)
+        valid = np.zeros((B, T), bool)
+        lens = np.zeros((B,), np.int32)
+        for b, r in enumerate(rows):
+            ids[b, : len(r)] = r
+            valid[b, : len(r)] = True
+            lens[b] = len(r)
+        return jnp.asarray(ids), jnp.asarray(valid), lens
+
+    # ------------------------------------------------------------------
+    def run(self, feeds: Sequence[Feed], max_steps: Optional[int] = None) -> List[Dict]:
+        """Greedy closed-loop eval of one episode per feed (batched).
+
+        Returns per-episode info dicts (positions, steps, final distance).
+        """
+        cfg = self.cfg
+        max_steps = max_steps or cfg.train.max_traj_len
+        B = len(feeds)
+        obs = [f.reset() for f in feeds]
+        act_state = [EpisodeActionState() for _ in range(B)]
+        state = policy_mod.batched_init_state(cfg, B)
+        live = list(range(B))
+        results: List[Optional[Dict]] = [None] * B
+
+        for stepk in range(max_steps):
+            rgb = jnp.asarray(np.stack([obs[i].rgb for i in live]))
+            depth = jnp.asarray(np.stack([obs[i].depth for i in live]))
+            pos = jnp.asarray(np.stack([obs[i].position for i in live]))
+            hd = jnp.asarray(np.asarray([obs[i].heading for i in live], np.float32))
+
+            out = self._perceive(self.params, state, rgb, depth, pos, hd)
+            state = out.state
+
+            ids, tvalid, _ = self._prompt_ids(
+                [obs[i].instruction for i in live],
+                [act_state[i].history_actions for i in live],
+            )
+            gen = self._generate(self.params, ids, tvalid, out.mm_tokens, out.mm_valid)
+            gen = np.asarray(gen)
+
+            done_now: List[int] = []
+            for row, i in enumerate(list(live)):
+                text = self.tok.decode(gen[row])
+                cut = text.find("<|end|>")
+                if cut != -1:
+                    text = text[:cut]
+                act_state[i].push_history(text + "\n")
+                action = parse_action(text, cfg.action)
+                if action == STOP or stepk == max_steps - 1 or (
+                    action != STOP and action[0] == 0.0 and action[1] == 0.0
+                ):
+                    o, d, info = feeds[i].step(STOP)
+                    results[i] = {
+                        "steps": stepk + 1,
+                        "distance_to_goal": feeds[i].oracle_distance(),
+                        **info,
+                    }
+                    done_now.append(i)
+                else:
+                    o, d, info = feeds[i].step(action)
+                    obs[i] = o
+                    if d:
+                        results[i] = {
+                            "steps": stepk + 1,
+                            "distance_to_goal": feeds[i].oracle_distance(),
+                            **info,
+                        }
+                        done_now.append(i)
+
+            for i in done_now:
+                row = live.index(i)
+                state = policy_mod.pop_state(state, row)
+                live.remove(i)
+            if not live:
+                break
+
+        for i in list(live):
+            results[i] = {
+                "steps": max_steps,
+                "distance_to_goal": feeds[i].oracle_distance(),
+            }
+        return results  # type: ignore[return-value]
