@@ -80,6 +80,15 @@ def _config(scale: str):
 
 def main():
     import jax
+
+    # persistent compile cache: the tunnel makes cold compiles ~10min at full
+    # scale; warm runs start in seconds.
+    cache_dir = os.environ.get("DYNAM3D_XLA_CACHE", "/tmp/dynam3d_xla_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from dynam3d_tpu.models import policy as policy_mod
