@@ -42,6 +42,8 @@ class FieldState(NamedTuple):
     inst_pos: jnp.ndarray       # [I,3] f32
     inst_fts: jnp.ndarray       # [I,D] f32
     inst_valid: jnp.ndarray     # [I]   bool
+    inst_gt_id: jnp.ndarray     # [I]   i32 gt instance id (pretrain supervision;
+                                #       src_3dff feature_fields.py:1092-1097; -1 unset)
 
     # --- zone layer [Z] ---
     zone_key: jnp.ndarray       # [Z,3] f32 cell-center key (2x2x2 m cells)
@@ -67,6 +69,7 @@ def init_state(cfg: FieldsConfig, fts_dtype=jnp.bfloat16) -> FieldState:
         inst_pos=jnp.full((I, 3), TOMBSTONE, jnp.float32),
         inst_fts=jnp.zeros((I, D), jnp.float32),
         inst_valid=jnp.zeros((I,), bool),
+        inst_gt_id=jnp.full((I,), -1, jnp.int32),
         zone_key=jnp.full((Z, 3), TOMBSTONE, jnp.float32),
         zone_pos=jnp.full((Z, 3), TOMBSTONE, jnp.float32),
         zone_fts=jnp.zeros((Z, D), jnp.float32),

@@ -107,6 +107,7 @@ def update_view(
     segm: jnp.ndarray,
     position: jnp.ndarray,
     heading: jnp.ndarray,
+    seg_gt_id: Optional[jnp.ndarray] = None,
 ) -> Tuple[FieldState, ViewAux]:
     """Fold one posed RGB-D view into the 3D memory.
 
@@ -116,6 +117,9 @@ def update_view(
       segm: ``[H*W]`` int32 FastSAM segment ids in ``[0, max_segments)``.
       position: ``[3]`` world-frame camera position (habitat swap applied).
       heading: scalar view heading (panorama offset already added).
+      seg_gt_id: optional ``[S]`` gt instance ids per segment (pretrain
+        supervision; recorded on new-instance creation, src_3dff
+        feature_fields.py:1092-1097).
     """
     H, W, D = cfg.input_height, cfg.input_width, cfg.fts_dim
     HW = H * W
@@ -187,11 +191,14 @@ def update_view(
     inst_pos = state.inst_pos
     inst_fts = state.inst_fts
     inst_valid = state.inst_valid
+    inst_gt_id = state.inst_gt_id
     # scatter new instances (drop inactive rows)
     new_write = jnp.where(is_new, new_ids, cfg.instance_capacity)  # OOB -> dropped
     inst_pos = inst_pos.at[new_write].set(centers, mode="drop")
     inst_fts = inst_fts.at[new_write].set(seg_fts.astype(inst_fts.dtype), mode="drop")
     inst_valid = inst_valid.at[new_write].set(True, mode="drop")
+    if seg_gt_id is not None:
+        inst_gt_id = inst_gt_id.at[new_write].set(seg_gt_id, mode="drop")
 
     # patch ownership for this view's slots
     patch_owner = state.patch_owner.at[slots].set(owner[segm])
@@ -298,6 +305,7 @@ def update_view(
         inst_pos=inst_pos,
         inst_fts=inst_fts,
         inst_valid=inst_valid,
+        inst_gt_id=inst_gt_id,
         zone_key=zone_key,
         zone_pos=zone_pos,
         zone_fts=zone_fts,
@@ -387,6 +395,7 @@ def delete_from_frustum(
     inst_valid = state.inst_valid & ~inst_dead
     inst_pos = jnp.where(inst_dead[:, None], TOMBSTONE, state.inst_pos)
     inst_fts = jnp.where(inst_dead[:, None], 0, state.inst_fts)
+    inst_gt_id = jnp.where(inst_dead, -10000, state.inst_gt_id)
 
     # zones keyed by dead instances' cells that now have zero members
     dead_cells = cell_center(state.inst_pos, cfg)            # pre-tombstone positions
@@ -423,6 +432,7 @@ def delete_from_frustum(
         inst_pos=inst_pos,
         inst_fts=inst_fts,
         inst_valid=inst_valid,
+        inst_gt_id=inst_gt_id,
         zone_key=zone_key,
         zone_pos=zone_pos,
         zone_fts=zone_fts,

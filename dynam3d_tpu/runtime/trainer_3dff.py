@@ -1,0 +1,249 @@
+"""3DFF pretraining trainer ("SS-ETP" in the reference registry).
+
+TPU redesign of ``RLTrainer`` (src_3dff/ss_trainer_3DFF.py:63-2271).  The
+reference's five dataset drivers (hm3d/scannet/3rscan/arkit/structured3d,
+":733-2233") reduce to two shapes:
+
+  - a *walk* driver: a simulator feed provides posed panoramas along a
+    random/teacher walk, plus novel-view renders for supervision (hm3d);
+  - a *posed-frames* driver: N posed RGB-D frames from disk are folded into
+    the memory in one update, then rendered back (scannet/3rscan/
+    arkit/structured3d; the latter two skip instance-label supervision).
+
+Per iteration, a dataset id is drawn and synced across hosts (the
+``distr.broadcast(src=0)`` at ":2239-2242" becomes a seeded host-agreed
+draw).  AdamW lr 1e-5, grad-VALUE clip 10, all-ranks NaN skip (":504-519").
+
+The device-side loss assembly (``pretrain_step_loss``) fuses: memory-update
+alignment (instance/zone/subspace/contrastive), merge-discriminator CE,
+novel-view rendering losses (cos x5 + subspace x2 + NCE/5), category focal
+CE /10, and instance/zone-text alignment (NCE/5 + category CE/10), mirroring
+":1053-1111" and feature_fields.py:1303-1340.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dynam3d_tpu.config import Dynam3DConfig
+from dynam3d_tpu.models.memory3d.pretrain import PretrainAux, update_view_pretrain
+from dynam3d_tpu.models.memory3d.state import FieldState
+from dynam3d_tpu.models.render.nerf import render_view
+from dynam3d_tpu.ops.knn import knn_brute
+from dynam3d_tpu.runtime.losses_3dff import (
+    balanced_merge_ce,
+    contrastive_loss,
+    cosine_loss,
+    focal_loss,
+    l2n,
+    subspace_cosine_loss,
+)
+
+Params = Dict[str, Any]
+
+
+class PretrainBatch(NamedTuple):
+    """One pretraining step's device inputs (single scene/episode element)."""
+
+    depth: jnp.ndarray          # [V,HW] metric 24x24 depth
+    grid_fts: jnp.ndarray       # [V,HW,D] CLIP patch features
+    cls_fts: jnp.ndarray        # [V,D] CLIP CLS features (zone target)
+    segm: jnp.ndarray           # [V,HW]
+    position: jnp.ndarray       # [V,3] world frame
+    heading: jnp.ndarray        # [V]
+    gt_xyz: jnp.ndarray         # [G,3] gt point cloud
+    gt_label: jnp.ndarray       # [G]
+    gt_valid: jnp.ndarray       # [G]
+    novel_position: jnp.ndarray  # [Nv,3]
+    novel_heading: jnp.ndarray   # [Nv]
+    novel_gt_fts: jnp.ndarray    # [Nv,R,D] avg-pooled CLIP targets
+    cat_embeddings: jnp.ndarray  # [C,D] category text embeddings
+    gtid_to_cat: jnp.ndarray     # [L] gt-instance-id -> category idx (-1 none)
+    gtid_text_fts: jnp.ndarray   # [L,D] gt-instance-id -> caption text feature
+    gtid_text_valid: jnp.ndarray  # [L]
+    use_labels: jnp.ndarray      # scalar bool — False for arkit/structured3d
+
+
+def pretrain_step_loss(
+    params: Params,
+    cfg: Dynam3DConfig,
+    state: FieldState,
+    batch: PretrainBatch,
+    max_gt_label: int = 512,
+) -> Tuple[jnp.ndarray, FieldState, Dict[str, jnp.ndarray]]:
+    f = cfg.fields
+    V = batch.depth.shape[0]
+    S = f.max_segments
+
+    # ---- fold views, collecting pretrain aux ----
+    def step(st, xs):
+        d, g, sg, pos, hd = xs
+        st, aux = update_view_pretrain(
+            params["fields"], st, f, d, g, sg, pos, hd,
+            batch.gt_xyz, batch.gt_label, batch.gt_valid, max_gt_label,
+        )
+        return st, aux
+
+    state, aux = jax.lax.scan(
+        step, state,
+        (batch.depth, batch.grid_fts, batch.segm, batch.position, batch.heading),
+    )  # aux leaves have leading [V]
+
+    act = aux.base.seg_active.reshape(-1)                      # [V*S]
+    seg_fts = aux.base.seg_fts.reshape(-1, f.fts_dim)
+    tgt_fts = aux.target_seg_fts.reshape(-1, f.fts_dim)
+    pmean = jnp.repeat(aux.patch_mean_fts, S, axis=0)          # [V*S,D]
+
+    # ---- update-time alignment (feature_fields.py:1303-1331) ----
+    sim_loss = contrastive_loss(seg_fts, tgt_fts, act) / 5.0
+    sim_loss += cosine_loss(seg_fts, tgt_fts, act)
+    sim_loss += subspace_cosine_loss(seg_fts, tgt_fts, pmean, pmean, act)
+    vmask = jnp.ones((V,), bool)
+    sim_loss += contrastive_loss(aux.zone_pred_fts, batch.cls_fts, vmask) / 5.0
+    sim_loss += cosine_loss(aux.zone_pred_fts, batch.cls_fts, vmask)
+    cls_mean = jnp.mean(batch.cls_fts, axis=0)
+    sim_loss += subspace_cosine_loss(
+        aux.zone_pred_fts, batch.cls_fts, cls_mean, cls_mean, vmask
+    )
+
+    # ---- merge-discriminator CE (":1030-1047") ----
+    segm_loss = balanced_merge_ce(
+        aux.base.merge_logits.reshape(-1),
+        aux.merge_target.reshape(-1),
+        aux.merge_valid.reshape(-1) & batch.use_labels,
+    )
+
+    # ---- novel-view rendering losses (ss_trainer_3DFF.py:1053-1093) ----
+    def render_one(pos, hd):
+        out = render_view(params["render"], f, state, pos, hd)
+        return out.features.reshape(-1, f.fts_dim), out.positions.reshape(-1, 3)
+
+    nv_fts, nv_pos = jax.lax.map(
+        lambda xs: render_one(*xs), (batch.novel_position, batch.novel_heading)
+    )  # [Nv,R,D], [Nv,R,3]
+    pred = nv_fts.reshape(-1, f.fts_dim).astype(jnp.float32)
+    gt = batch.novel_gt_fts.reshape(-1, f.fts_dim).astype(jnp.float32)
+    ray_mask = jnp.ones((pred.shape[0],), bool)
+    # subspace x2 (per-view mean subtracted)
+    nv_gt_mean = jnp.mean(batch.novel_gt_fts, axis=1, keepdims=True)
+    nv_pr_mean = jnp.mean(nv_fts, axis=1, keepdims=True)
+    render_loss = 2.0 * cosine_loss(
+        (nv_fts - nv_pr_mean).reshape(-1, f.fts_dim),
+        (batch.novel_gt_fts - nv_gt_mean).reshape(-1, f.fts_dim),
+        ray_mask,
+    )
+    render_loss += 5.0 * cosine_loss(pred, gt, ray_mask)
+    render_loss += contrastive_loss(pred, gt, ray_mask) / 5.0
+
+    # ---- per-ray category focal loss (":895-918,1103-1111") ----
+    sqd, nn = knn_brute(
+        nv_pos.reshape(-1, 3), batch.gt_xyz, batch.gt_valid, 1
+    )
+    ray_gt = batch.gt_label[nn[:, 0]]
+    ray_ok = (
+        (jnp.sqrt(sqd[:, 0]) < f.search_radius)
+        & (ray_gt > 0)
+        & batch.use_labels
+    )
+    ray_cat = batch.gtid_to_cat[jnp.clip(ray_gt, 0, batch.gtid_to_cat.shape[0] - 1)]
+    ray_ok = ray_ok & (ray_cat >= 0)
+    cat_logits = 10.0 * jnp.dot(
+        l2n(pred), batch.cat_embeddings.T, preferred_element_type=jnp.float32
+    )
+    lang_loss = focal_loss(cat_logits, ray_cat, ray_ok) / 10.0
+
+    # ---- instance/zone text alignment (":922-1003,1080-1099") ----
+    ipred = aux.inst_pred_fts.reshape(-1, f.fts_dim)
+    igt = aux.inst_pred_gt.reshape(-1)
+    iok = (igt >= 0) & act & batch.use_labels
+    icat = batch.gtid_to_cat[jnp.clip(igt, 0, batch.gtid_to_cat.shape[0] - 1)]
+    cat_ok = iok & (icat >= 0)
+    inst_logits = 10.0 * jnp.dot(
+        l2n(ipred), batch.cat_embeddings.T, preferred_element_type=jnp.float32
+    )
+    lp = jax.nn.log_softmax(inst_logits, axis=-1)
+    ice = -jnp.take_along_axis(lp, jnp.maximum(icat, 0)[:, None], axis=-1)[:, 0]
+    text_loss = jnp.sum(ice * cat_ok) / jnp.maximum(jnp.sum(cat_ok), 1.0) / 10.0
+
+    itext = batch.gtid_text_fts[jnp.clip(igt, 0, batch.gtid_text_fts.shape[0] - 1)]
+    it_ok = iok & batch.gtid_text_valid[
+        jnp.clip(igt, 0, batch.gtid_text_valid.shape[0] - 1)
+    ]
+    text_loss += contrastive_loss(ipred, itext, it_ok) / 5.0
+
+    # zone-text: first member with a caption (":978-1003" picks one member)
+    zgt = aux.zone_member_gt[..., 0].reshape(-1)               # first member
+    zpred = aux.zone_pred_zone_fts.reshape(-1, f.fts_dim)
+    zok = (
+        aux.zone_touch_valid.reshape(-1)
+        & (zgt >= 0)
+        & batch.use_labels
+        & batch.gtid_text_valid[jnp.clip(zgt, 0, batch.gtid_text_valid.shape[0] - 1)]
+    )
+    ztext = batch.gtid_text_fts[jnp.clip(zgt, 0, batch.gtid_text_fts.shape[0] - 1)]
+    text_loss += contrastive_loss(zpred, ztext, zok) / 5.0
+
+    loss = sim_loss + segm_loss + render_loss + lang_loss + text_loss
+    metrics = {
+        "sim_loss": sim_loss,
+        "segm_loss": segm_loss,
+        "render_loss": render_loss,
+        "lang_loss": lang_loss,
+        "text_loss": text_loss,
+    }
+    return loss, state, metrics
+
+
+def make_pretrain_optimizer(cfg: Dynam3DConfig) -> optax.GradientTransformation:
+    """AdamW lr 1e-5 with grad-VALUE clip 10 (ss_trainer_3DFF.py:361,517)."""
+    return optax.chain(
+        optax.clip(cfg.train.grad_clip_value),
+        optax.adamw(cfg.train.pretrain_lr),
+    )
+
+
+def make_pretrain_step(cfg: Dynam3DConfig, optimizer):
+    """Jitted step: NaN-consensus skip (":504-517") + AdamW update.
+
+    Trains the fields modules and the renderer (encoders stay frozen as in
+    the reference — CLIP is never updated)."""
+
+    def step(trainable, opt_state, field_state, batch: PretrainBatch):
+        def loss_fn(tr):
+            loss, new_state, metrics = pretrain_step_loss(
+                tr, cfg, field_state, batch
+            )
+            return loss, (new_state, metrics)
+
+        (loss, (new_state, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(trainable)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(jnp.isnan(g), 0.0, g), grads
+        )
+        updates, new_opt = optimizer.update(grads, opt_state, trainable)
+        new_tr = optax.apply_updates(trainable, updates)
+        skip = jnp.isnan(loss)
+        new_tr = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(skip, o, n), new_tr, trainable
+        )
+        metrics["loss"] = loss
+        metrics["skipped"] = skip
+        return new_tr, new_opt, new_state, metrics
+
+    return step
+
+
+def draw_dataset_id(seed: int, iteration: int, n_datasets: int = 5) -> int:
+    """Host-agreed dataset choice: all hosts derive the same id from the
+    shared seed (replaces ``distr.broadcast(src=0)`` at ":2239-2242")."""
+    return int(
+        jax.random.randint(
+            jax.random.fold_in(jax.random.PRNGKey(seed), iteration),
+            (), 0, n_datasets,
+        )
+    )
