@@ -1,0 +1,332 @@
+"""Checkpointing: orbax save/resume + torch->JAX weight converters.
+
+Covers the reference's checkpoint surface (SURVEY.md §5.4):
+
+  - ``save_checkpoint``/resume with requeue-by-mtime
+    (ss_trainer_Dynam3D.py:75-84,201-218);
+  - ``convert_ckpt.py`` semantics: strip the ``net(.module).feature_fields.``
+    prefix from a pretrain checkpoint to produce the frozen 3D-memory weights
+    the VLN policy loads (``dynam3d.pth``);
+  - 1:1 weight converters from the torch module layouts into this build's
+    parameter pytrees: the Feature_Fields modules, PyTorch
+    ``nn.TransformerEncoder`` stacks (fused in_proj split), the ``Linear ->
+    LayerNorm -> GELU -> Linear`` MLPs, OpenAI CLIP towers, HF Phi-3/LLaVA,
+    and the waypoint BERT.
+
+Converters accept a ``state_dict``-like mapping of numpy arrays (call
+``.numpy()`` on torch tensors first, or pass tensors — they are coerced).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Mapping, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def _j(prefix: str, name: str) -> str:
+    return f"{prefix}.{name}" if prefix else name
+
+
+def strip_prefix(state: Mapping[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    """convert_ckpt.py equivalent: keep keys under ``prefix``, drop the rest."""
+    out = {}
+    for k, v in state.items():
+        k = k.replace("module.", "", 1) if k.startswith("module.") else k
+        if k.startswith(prefix):
+            out[k[len(prefix):]] = _np(v)
+    return out
+
+
+# --------------------------------------------------------------------------
+# primitive converters
+# --------------------------------------------------------------------------
+def dense_from_torch(sd: Mapping, prefix: str) -> Dict[str, jnp.ndarray]:
+    """torch ``nn.Linear`` [out,in] -> our {"w": [in,out], "b": [out]}."""
+    w = _np(sd[_j(prefix, "weight")]).T
+    b = _np(sd.get(_j(prefix, "bias"), np.zeros(w.shape[1], np.float32)))
+    return {"w": jnp.asarray(w), "b": jnp.asarray(b)}
+
+
+def ln_from_torch(sd: Mapping, prefix: str) -> Dict[str, jnp.ndarray]:
+    return {
+        "scale": jnp.asarray(_np(sd[_j(prefix, "weight")])),
+        "bias": jnp.asarray(_np(sd[_j(prefix, "bias")])),
+    }
+
+
+def mlp2_from_torch(sd: Mapping, prefix: str) -> Dict[str, Any]:
+    """``nn.Sequential(Linear, LayerNorm, GELU, Linear)`` -> ops.mlp2 params."""
+    return {
+        "fc1": dense_from_torch(sd, _j(prefix, "0")),
+        "ln": ln_from_torch(sd, _j(prefix, "1")),
+        "fc2": dense_from_torch(sd, _j(prefix, "3")),
+    }
+
+
+def encoder_layer_from_torch(sd: Mapping, prefix: str) -> Dict[str, Any]:
+    """``nn.TransformerEncoderLayer`` (post-norm) -> ops.encoder_layer params."""
+    qkv_w = _np(sd[_j(prefix, "self_attn.in_proj_weight")]).T  # [D,3D]
+    qkv_b = _np(sd[_j(prefix, "self_attn.in_proj_bias")])
+    return {
+        "attn": {
+            "qkv": {"w": jnp.asarray(qkv_w), "b": jnp.asarray(qkv_b)},
+            "out": dense_from_torch(sd, _j(prefix, "self_attn.out_proj")),
+        },
+        "ln1": ln_from_torch(sd, _j(prefix, "norm1")),
+        "ff1": dense_from_torch(sd, _j(prefix, "linear1")),
+        "ff2": dense_from_torch(sd, _j(prefix, "linear2")),
+        "ln2": ln_from_torch(sd, _j(prefix, "norm2")),
+    }
+
+
+def encoder_stack_from_torch(
+    sd: Mapping, prefix: str, n_layers: int, final_ln: str
+) -> Dict[str, Any]:
+    """``nn.TransformerEncoder(layers, norm=LN)`` -> ops.encoder_stack params."""
+    return {
+        "layers": [
+            encoder_layer_from_torch(sd, _j(prefix, f"layers.{i}"))
+            for i in range(n_layers)
+        ],
+        "final_ln": ln_from_torch(sd, final_ln),
+    }
+
+
+# --------------------------------------------------------------------------
+# Feature_Fields (the 3D memory modules)
+# --------------------------------------------------------------------------
+def field_params_from_torch(sd: Mapping) -> Dict[str, Any]:
+    """``dynam3d.pth`` (Feature_Fields state_dict) -> memory3d params.
+
+    Module names from feature_fields.py:139-161.
+    """
+    return {
+        "patch_pos_mlp": mlp2_from_torch(sd, "patch_to_instance_position_embedding"),
+        "p2i_agg_token": jnp.asarray(_np(sd["aggregate_patch_to_instance_embedding"])),
+        "p2i_encoder": encoder_stack_from_torch(
+            sd, "aggregate_patch_to_instance_encoder", 2,
+            "aggregate_patch_to_instance_encoder.norm",
+        ),
+        "inst_pos_mlp": mlp2_from_torch(sd, "instance_to_zone_position_embedding"),
+        "i2z_agg_token": jnp.asarray(_np(sd["aggregate_instance_to_zone_embedding"])),
+        "i2z_encoder": encoder_stack_from_torch(
+            sd, "aggregate_instance_to_zone_encoder", 2,
+            "aggregate_instance_to_zone_encoder.norm",
+        ),
+        "merge_disc": {
+            "fc1": dense_from_torch(sd, "instance_merge_discriminator.0"),
+            "ln": ln_from_torch(sd, "instance_merge_discriminator.1"),
+            "fc2": dense_from_torch(sd, "instance_merge_discriminator.3"),
+        },
+    }
+
+
+# --------------------------------------------------------------------------
+# CLIP (OpenAI layout, clip/model.py)
+# --------------------------------------------------------------------------
+def _clip_block_from_torch(sd: Mapping, prefix: str) -> Dict[str, Any]:
+    return {
+        "attn": {
+            "qkv": {
+                "w": jnp.asarray(_np(sd[f"{prefix}.attn.in_proj_weight"]).T),
+                "b": jnp.asarray(_np(sd[f"{prefix}.attn.in_proj_bias"])),
+            },
+            "out": dense_from_torch(sd, f"{prefix}.attn.out_proj"),
+        },
+        "ln1": ln_from_torch(sd, f"{prefix}.ln_1"),
+        "ln2": ln_from_torch(sd, f"{prefix}.ln_2"),
+        "fc1": dense_from_torch(sd, f"{prefix}.mlp.c_fc"),
+        "fc2": dense_from_torch(sd, f"{prefix}.mlp.c_proj"),
+    }
+
+
+def clip_params_from_torch(sd: Mapping, vision_layers: int, text_layers: int) -> Dict[str, Any]:
+    conv_w = _np(sd["visual.conv1.weight"])  # [W,3,P,P]
+    W, _, P, _ = conv_w.shape
+    # our patchify layout: [g,ps,g,ps,3] flattened as (ps,ps,3) per patch
+    conv_flat = conv_w.transpose(2, 3, 1, 0).reshape(P * P * 3, W)
+    return {
+        "visual": {
+            "conv1_w": jnp.asarray(conv_flat),
+            "class_embedding": jnp.asarray(_np(sd["visual.class_embedding"])),
+            "positional_embedding": jnp.asarray(_np(sd["visual.positional_embedding"])),
+            "ln_pre": ln_from_torch(sd, "visual.ln_pre"),
+            "transformer": {
+                "blocks": [
+                    _clip_block_from_torch(sd, f"visual.transformer.resblocks.{i}")
+                    for i in range(vision_layers)
+                ]
+            },
+            "ln_post": ln_from_torch(sd, "visual.ln_post"),
+            "proj": jnp.asarray(_np(sd["visual.proj"])),
+        },
+        "text": {
+            "token_embedding": jnp.asarray(_np(sd["token_embedding.weight"])),
+            "positional_embedding": jnp.asarray(_np(sd["positional_embedding"])),
+            "transformer": {
+                "blocks": [
+                    _clip_block_from_torch(sd, f"transformer.resblocks.{i}")
+                    for i in range(text_layers)
+                ]
+            },
+            "ln_final": ln_from_torch(sd, "ln_final"),
+            "projection": jnp.asarray(_np(sd["text_projection"])),
+        },
+    }
+
+
+# --------------------------------------------------------------------------
+# Phi-3 / LLaVA (HF layout)
+# --------------------------------------------------------------------------
+def phi3_params_from_torch(sd: Mapping, num_layers: int, dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """HF ``Phi3ForCausalLM`` (under ``language_model.`` in llava) layouts."""
+
+    def g(k):
+        for cand in (k, f"language_model.{k}", f"model.{k}", f"language_model.model.{k}"):
+            if cand in sd:
+                return _np(sd[cand])
+        raise KeyError(k)
+
+    layers = []
+    for i in range(num_layers):
+        p = f"model.layers.{i}"
+        try:
+            qkv = g(f"{p}.self_attn.qkv_proj.weight").T
+        except KeyError:
+            qkv = np.concatenate(
+                [
+                    g(f"{p}.self_attn.q_proj.weight"),
+                    g(f"{p}.self_attn.k_proj.weight"),
+                    g(f"{p}.self_attn.v_proj.weight"),
+                ],
+                axis=0,
+            ).T
+        layers.append(
+            {
+                "input_ln": jnp.asarray(g(f"{p}.input_layernorm.weight"), jnp.float32),
+                "qkv": jnp.asarray(qkv, dtype),
+                "o": jnp.asarray(g(f"{p}.self_attn.o_proj.weight").T, dtype),
+                "post_ln": jnp.asarray(
+                    g(f"{p}.post_attention_layernorm.weight"), jnp.float32
+                ),
+                "gate_up": jnp.asarray(g(f"{p}.mlp.gate_up_proj.weight").T, dtype),
+                "down": jnp.asarray(g(f"{p}.mlp.down_proj.weight").T, dtype),
+            }
+        )
+    return {
+        "embed_tokens": jnp.asarray(g("model.embed_tokens.weight"), dtype),
+        "layers": layers,
+        "final_ln": jnp.asarray(g("model.norm.weight"), jnp.float32),
+        "lm_head": jnp.asarray(g("lm_head.weight").T, dtype),
+    }
+
+
+def llava_projector_from_torch(sd: Mapping) -> Dict[str, Any]:
+    return {
+        "fc1": dense_from_torch(sd, "multi_modal_projector.linear_1"),
+        "fc2": dense_from_torch(sd, "multi_modal_projector.linear_2"),
+    }
+
+
+# --------------------------------------------------------------------------
+# Waypoint BERT (TRM_net.py + waypoint_bert.py)
+# --------------------------------------------------------------------------
+def waypoint_params_from_torch(sd: Mapping, n_layers: int = 2) -> Dict[str, Any]:
+    layers = []
+    for i in range(n_layers):
+        p = f"waypoint_TRM.bert.encoder.layer.{i}"
+        qkv_w = np.concatenate(
+            [
+                _np(sd[f"{p}.attention.self.query.weight"]),
+                _np(sd[f"{p}.attention.self.key.weight"]),
+                _np(sd[f"{p}.attention.self.value.weight"]),
+            ],
+            axis=0,
+        ).T
+        qkv_b = np.concatenate(
+            [
+                _np(sd[f"{p}.attention.self.query.bias"]),
+                _np(sd[f"{p}.attention.self.key.bias"]),
+                _np(sd[f"{p}.attention.self.value.bias"]),
+            ]
+        )
+        layers.append(
+            {
+                "attn": {
+                    "qkv": {"w": jnp.asarray(qkv_w), "b": jnp.asarray(qkv_b)},
+                    "out": dense_from_torch(sd, f"{p}.attention.output.dense"),
+                },
+                "ln1": ln_from_torch(sd, f"{p}.attention.output.LayerNorm"),
+                "ff1": dense_from_torch(sd, f"{p}.intermediate.dense"),
+                "ff2": dense_from_torch(sd, f"{p}.output.dense"),
+                "ln2": ln_from_torch(sd, f"{p}.output.LayerNorm"),
+            }
+        )
+    return {
+        "visual_fc_depth": dense_from_torch(sd, "visual_fc_depth.1"),
+        "bert_layers": layers,
+        "cls_fc1": dense_from_torch(sd, "vis_classifier.0"),
+        "cls_fc2": dense_from_torch(sd, "vis_classifier.2"),
+    }
+
+
+# --------------------------------------------------------------------------
+# save / resume (orbax)
+# --------------------------------------------------------------------------
+def save_checkpoint(ckpt_dir: str, step: int, payload: Any) -> str:
+    """``ckpt.iter{N}`` save (rank-0 only in multiproc; caller gates).
+
+    Arrays are staged to host numpy first: orbax's async d2h path can hang on
+    experimental PJRT backends (observed on the axon tunnel), and host staging
+    also keeps checkpoints sharding-agnostic.
+    """
+    import jax
+    import orbax.checkpoint as ocp
+
+    payload = jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if hasattr(x, "devices") else x, payload
+    )
+    path = os.path.abspath(os.path.join(ckpt_dir, f"ckpt.iter{step}"))
+    os.makedirs(ckpt_dir, exist_ok=True)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, payload, force=True)
+    return path
+
+
+def load_checkpoint(path: str, template: Optional[Any] = None) -> Any:
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        if template is not None:
+            return ckptr.restore(os.path.abspath(path), item=template)
+        return ckptr.restore(os.path.abspath(path))
+
+
+def newest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """Requeue resume: newest ckpt by mtime (ss_trainer_Dynam3D.py:201-206)."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    cands = [
+        os.path.join(ckpt_dir, d)
+        for d in os.listdir(ckpt_dir)
+        if d.startswith("ckpt.iter")
+    ]
+    if not cands:
+        return None
+    return max(cands, key=os.path.getmtime)
+
+
+def checkpoint_step(path: str) -> int:
+    """ckpt id from filename (base_il_trainer.py:891-895)."""
+    m = re.search(r"iter(\d+)", os.path.basename(path))
+    return int(m.group(1)) if m else -1
