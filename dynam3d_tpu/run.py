@@ -1,0 +1,117 @@
+"""CLI entry: train / eval / inference dispatch.
+
+Equivalent of the reference's ``run.py`` (Dynam3D_VLN/run.py:20-113):
+``python -m dynam3d_tpu.run --exp-config cfg.json --run-type train
+--exp_name exp1 [dotted.key=value ...]``.  Replaces
+``torch.distributed.launch`` with JAX process env (JAX_PROCESS_INDEX /
+jax.distributed for multi-host); trainer selection by registry name mirrors
+``baseline_registry.get_trainer`` (run.py:100-106).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import random
+from typing import Callable, Dict
+
+import numpy as np
+
+TRAINER_REGISTRY: Dict[str, str] = {
+    # registry-name -> module path (reference names preserved)
+    "Dynam3D": "dynam3d_tpu.runtime.vln_loop",      # ss_trainer_Dynam3D.py:62
+    "SS-ETP": "dynam3d_tpu.runtime.trainer_3dff",   # ss_trainer_3DFF.py:63
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="dynam3d_tpu launcher")
+    p.add_argument("--exp_name", type=str, default="test", help="experiment id")
+    p.add_argument("--run-type", choices=["train", "eval", "inference"], required=True)
+    p.add_argument("--exp-config", type=str, default=None,
+                   help="config file (json/yaml); defaults apply if omitted")
+    p.add_argument("--trainer", type=str, default="Dynam3D",
+                   choices=sorted(TRAINER_REGISTRY))
+    p.add_argument("--ckpt-dir", type=str, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("opts", nargs=argparse.REMAINDER,
+                   help="dotted.key=value config overrides")
+    return p
+
+
+def setup_logging(exp_name: str, log_dir: str = "data/logs/running_log") -> logging.Logger:
+    """Per-experiment file logger (reference run.py:78-82)."""
+    os.makedirs(log_dir, exist_ok=True)
+    logger = logging.getLogger("dynam3d_tpu")
+    logger.setLevel(logging.INFO)
+    fh = logging.FileHandler(os.path.join(log_dir, f"{exp_name}.log"))
+    fh.setFormatter(logging.Formatter("%(asctime)s %(levelname)s %(message)s"))
+    logger.addHandler(fh)
+    logger.addHandler(logging.StreamHandler())
+    return logger
+
+
+def seed_everything(seed: int, rank: int = 0) -> None:
+    """Per-rank seed offset (ss_trainer_Dynam3D.py:140-142)."""
+    random.seed(seed + rank)
+    np.random.seed(seed + rank)
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    from dynam3d_tpu.config import Dynam3DConfig, apply_opts, load
+
+    cfg = load(args.exp_config) if args.exp_config else Dynam3DConfig()
+    if args.opts:
+        cfg = apply_opts(cfg, [o for o in args.opts if "=" in o])
+
+    rank = int(os.environ.get("JAX_PROCESS_INDEX", "0"))
+    world = int(os.environ.get("JAX_PROCESS_COUNT", "1"))
+    if world > 1:
+        import jax
+
+        jax.distributed.initialize()
+
+    logger = setup_logging(args.exp_name)
+    seed_everything(args.seed or cfg.train.seed, rank)
+    logger.info("exp=%s type=%s trainer=%s rank=%d/%d",
+                args.exp_name, args.run_type, args.trainer, rank, world)
+
+    import jax
+    from dynam3d_tpu.models import policy as policy_mod
+    from dynam3d_tpu.runtime.feed import SyntheticRoomFeed
+
+    params = policy_mod.init_policy_params(jax.random.PRNGKey(cfg.train.seed), cfg)
+    ckpt_dir = args.ckpt_dir or cfg.train.ckpt_dir
+
+    def feed_factory():
+        return SyntheticRoomFeed(seed=random.randint(0, 1 << 30))
+
+    if args.trainer == "Dynam3D":
+        from dynam3d_tpu.runtime.vln_loop import VLNTrainer, evaluate, inference
+
+        if args.run_type == "train":
+            trainer = VLNTrainer(params, cfg, feed_factory, rank=rank, world=world)
+            start = trainer.resume(ckpt_dir) if cfg.train.is_requeue else 0
+            trainer.train(cfg.train.iters - start, ckpt_dir=ckpt_dir)
+        elif args.run_type == "eval":
+            feeds = [feed_factory() for _ in range(8)]
+            gt = [np.zeros((2, 3), np.float32) for _ in feeds]
+            agg = evaluate(params, cfg, feeds, gt, rank=rank, world=world,
+                           out_dir=f"data/eval/{args.exp_name}")
+            logger.info("eval: %s", json.dumps(agg))
+        else:
+            feeds = [feed_factory() for _ in range(4)]
+            inference(params, cfg, feeds, [str(i) for i in range(len(feeds))],
+                      out_path=f"data/eval/{args.exp_name}_preds.json",
+                      rank=rank, world=world)
+    else:  # SS-ETP pretraining
+        logger.info("3DFF pretraining entry — see runtime/trainer_3dff.py; "
+                    "dataset drivers are wired through the Feed/FrameDataset "
+                    "protocols (no habitat in this image).")
+
+
+if __name__ == "__main__":
+    main()

@@ -79,6 +79,7 @@ class SyntheticRoomFeed:
         self.hfov = math.radians(hfov_deg)
         self.rng = np.random.default_rng(seed)
         self.positions: List[np.ndarray] = []
+        self.headings: List[float] = []
         self.collisions = 0
         self._pos = np.zeros(3, np.float32)
         self._heading = 0.0
@@ -141,6 +142,7 @@ class SyntheticRoomFeed:
         self._pos = np.asarray([self.start[0], 1.25, self.start[1]], np.float32)
         self._heading = 0.0
         self.positions = [self._pos.copy()]
+        self.headings = [0.0]
         self.collisions = 0
         return self._render()
 
@@ -160,6 +162,7 @@ class SyntheticRoomFeed:
             self.collisions += 1
         self._pos = np.asarray([cx, self._pos[1], cz], np.float32)
         self.positions.append(self._pos.copy())
+        self.headings.append(self._heading)
         return self._render(), False, self._info()
 
     def oracle_distance(self, position: Optional[np.ndarray] = None) -> float:
@@ -179,6 +182,7 @@ class SyntheticRoomFeed:
     def _info(self) -> Dict:
         return {
             "position": [p.tolist() for p in self.positions],
+            "heading": list(self.headings),
             "collisions": self.collisions,
             "distance_to_goal": self.oracle_distance(),
         }

@@ -1,0 +1,292 @@
+"""Full VLN train/eval/inference drivers over the feed protocol.
+
+Completes the trainer layer (SURVEY.md §2.1 "Trainer: VLN" + "Base IL
+trainer"): the closed-loop rollout of ss_trainer_Dynam3D.py:564-822 with
+teacher forcing, per-step optimizer updates, env recycling, episode metrics,
+rank-sharded eval/inference, stats-json artifacts, and checkpoint polling.
+
+Host/device split: the feed (simulator) and text codecs run on host; the
+jitted perceive/train-step/generate programs run on device (see
+models/policy.py, runtime/trainer_vln.py).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynam3d_tpu.config import Dynam3DConfig
+from dynam3d_tpu.models import policy as policy_mod
+from dynam3d_tpu.models.vlm.tokenizer import ByteTokenizer, build_prompt
+from dynam3d_tpu.runtime import checkpoint as ckpt_mod
+from dynam3d_tpu.runtime import metrics as metrics_mod
+from dynam3d_tpu.runtime import trainer_vln
+from dynam3d_tpu.runtime.feed import Feed, STOP
+from dynam3d_tpu.utils.actions import (
+    EpisodeActionState,
+    gt_text as make_gt_text,
+    parse_action,
+    teacher_targets,
+)
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+class VLNTrainer:
+    """Imitation-learning trainer (registered 'Dynam3D' in the reference).
+
+    ``feed_factory`` builds a fresh Feed per episode — the equivalent of the
+    reference's env construction; it is re-invoked every
+    ``recycle_every`` episodes to mirror the habitat memory-leak workaround
+    (ss_trainer_Dynam3D.py:577-587).
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg: Dynam3DConfig,
+        feed_factory: Callable[[], Feed],
+        tokenizer=None,
+        recycle_every: int = 20,
+        rank: int = 0,
+        world: int = 1,
+    ):
+        self.cfg = cfg
+        self.feed_factory = feed_factory
+        self.tok = tokenizer or ByteTokenizer(cfg.llava.phi3.vocab_size)
+        self.recycle_every = recycle_every
+        self.rank = rank
+        self.world = world
+        self.n_mm = (
+            cfg.fields.input_height * cfg.fields.input_width
+            + policy_mod.I_ENV
+            + policy_mod.Z_ENV
+        )
+        probe = self.tok.encode(build_prompt("x", ["none\n"] * 4, 1))
+        self.splice_start = probe.index(self.tok.image_id)
+
+        self.trainable, self.frozen = trainer_vln.split_params(params)
+        self.optimizer = trainer_vln.make_optimizer(cfg)
+        self.opt_state = self.optimizer.init(self.trainable)
+        self._step_fn = jax.jit(
+            trainer_vln.make_train_step(cfg, self.optimizer, self.splice_start)
+        )
+        self._episodes_done = 0
+        self.logs: Dict[str, List[float]] = {"IL_loss": []}
+
+    # ------------------------------------------------------------------
+    def _tokenize_full(self, instruction: str, history: List[str], gt: str):
+        ids = self.tok.encode(build_prompt(instruction, history, self.n_mm, gt))
+        label_ids = self.tok.encode(gt, add_bos=False)
+        T = _round_up(len(ids), self.cfg.llava.prefill_bucket)
+        a = np.full((1, T), self.tok.pad_id, np.int32)
+        v = np.zeros((1, T), bool)
+        a[0, : len(ids)] = ids
+        v[0, : len(ids)] = True
+        return jnp.asarray(a), jnp.asarray(v), np.asarray([label_ids], np.int32)
+
+    def params(self):
+        return trainer_vln.merge_params(self.trainable, self.frozen)
+
+    # ------------------------------------------------------------------
+    def train_episode(self, feed: Optional[Feed] = None, max_steps: Optional[int] = None) -> Dict:
+        """One teacher-forced episode; per-step backward+update (":786-798")."""
+        cfg = self.cfg
+        feed = feed or self.feed_factory()
+        max_steps = max_steps or cfg.train.max_traj_len
+        obs = feed.reset()
+        act_state = EpisodeActionState()
+        field_state = policy_mod.batched_init_state(cfg, 1)
+        losses = []
+        self._episodes_done += 1
+
+        for stepk in range(max_steps):
+            # teacher action via the oracle feed RPCs (":648-667")
+            cands = self._candidates(feed, obs)
+            dists = [
+                feed.cand_dist_to_goal(a, d) for a, d in zip(*cands)
+            ]
+            curr = feed.oracle_distance()
+            oracle = STOP if curr < 1.5 else int(np.argmin(dists))
+            angle, dist, stop = teacher_targets(act_state, cands[0], cands[1], oracle)
+            gt = make_gt_text(act_state, angle, dist, stop, cfg.action)
+            if gt.startswith("error."):
+                # data-quality abort: rebuild envs (":676-685")
+                feed = self.feed_factory()
+                break
+
+            ids, tvalid, labels = self._tokenize_full(
+                obs.instruction, act_state.history_actions, gt
+            )
+            turn_w = 0.0 if ("stop" in gt or "error" in gt) else 1.0
+            Tg = labels.shape[1]
+            batch = trainer_vln.TrainBatch(
+                rgb=jnp.asarray(obs.rgb[None]),
+                depth=jnp.asarray(obs.depth[None]),
+                position=jnp.asarray(obs.position[None]),
+                heading=jnp.asarray(np.float32([obs.heading])),
+                input_ids=ids,
+                text_valid=tvalid,
+                label_ids=jnp.asarray(labels),
+                label_mask=jnp.ones((1, Tg), bool),
+                turn_weight=jnp.asarray([turn_w], jnp.float32),
+            )
+            self.trainable, self.opt_state, field_state, m = self._step_fn(
+                self.trainable, self.frozen, self.opt_state, field_state, batch
+            )
+            losses.append(float(m["loss"]))
+            act_state.push_history(gt.replace("<|end|>", "\n"))
+
+            action = parse_action(gt, cfg.action)
+            if action == STOP or stepk == max_steps - 1:
+                feed.step(STOP)
+                break
+            obs, done, _ = feed.step(action)
+            if done:
+                break
+        mean_loss = float(np.mean(losses)) if losses else float("nan")
+        self.logs["IL_loss"].append(mean_loss)
+        return {"loss": mean_loss, "steps": len(losses)}
+
+    # ------------------------------------------------------------------
+    def _candidates(self, feed: Feed, obs):
+        """Candidate waypoints; the frozen predictor path when depth feats are
+        wired, else the feed's geometric candidates (12 headings x 3 ranges)."""
+        angles = [i * (2 * np.pi / 12) for i in range(12)]
+        dists = [0.25, 0.75, 1.5]
+        ca, cd = [], []
+        for a in angles:
+            for d in dists:
+                ca.append(a)
+                cd.append(d)
+        return ca, cd
+
+    # ------------------------------------------------------------------
+    def train(self, iters: int, log_every: Optional[int] = None, ckpt_dir: Optional[str] = None):
+        log_every = log_every or self.cfg.train.log_every
+        feed = self.feed_factory()
+        for it in range(iters):
+            if self._episodes_done % self.recycle_every == 0:
+                feed = self.feed_factory()
+            self.train_episode(feed)
+            if ckpt_dir and (it + 1) % log_every == 0 and self.rank == 0:
+                ckpt_mod.save_checkpoint(
+                    ckpt_dir, it + 1,
+                    {"trainable": self.trainable, "opt_state": self.opt_state},
+                )
+
+    def resume(self, ckpt_dir: str) -> int:
+        """requeue resume (ss_trainer_Dynam3D.py:201-206)."""
+        path = ckpt_mod.newest_checkpoint(ckpt_dir)
+        if path is None:
+            return 0
+        restored = ckpt_mod.load_checkpoint(
+            path, {"trainable": self.trainable, "opt_state": self.opt_state}
+        )
+        self.trainable = restored["trainable"]
+        self.opt_state = restored["opt_state"]
+        return ckpt_mod.checkpoint_step(path)
+
+
+def evaluate(
+    params,
+    cfg: Dynam3DConfig,
+    feeds: Sequence[Feed],
+    gt_paths: Sequence[np.ndarray],
+    tokenizer=None,
+    out_dir: Optional[str] = None,
+    ckpt_name: str = "ckpt",
+    rank: int = 0,
+    world: int = 1,
+    fast_eval: bool = False,
+) -> Dict[str, float]:
+    """Eval driver (_eval_checkpoint, ss_trainer_Dynam3D.py:331-431):
+    rank-sharded episodes, per-episode metrics, stats json artifacts."""
+    from dynam3d_tpu.runtime.episode import EpisodeRunner
+
+    idxs = metrics_mod.shard_episodes(range(len(feeds)), rank, world)
+    if fast_eval:
+        idxs = idxs[:: cfg.eval.fast_eval_stride]
+    runner = EpisodeRunner(params, cfg, tokenizer)
+    stat_eps: Dict[str, Dict[str, float]] = {}
+    for i in idxs:
+        res = runner.run([feeds[i]], max_steps=cfg.train.max_traj_len)[0]
+        pred_path = np.asarray(res.get("position", [[0, 0, 0]]), np.float32)
+        d0 = feeds[i].oracle_distance(pred_path[0])
+        dists = np.asarray(
+            [feeds[i].oracle_distance(p) for p in pred_path], np.float32
+        )
+        stat_eps[str(i)] = metrics_mod.episode_metrics(
+            pred_path, dists, gt_paths[i], res["steps"],
+            collisions=int(res.get("collisions", 0)),
+            success_distance=cfg.eval.success_distance,
+        )
+        del d0
+    agg = metrics_mod.aggregate(list(stat_eps.values()))
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        with open(
+            os.path.join(out_dir, f"stats_ep_{ckpt_name}_r{rank}_w{world}.json"), "w"
+        ) as f:
+            json.dump(stat_eps, f, indent=2)
+        with open(os.path.join(out_dir, f"stats_{ckpt_name}.json"), "w") as f:
+            json.dump(agg, f, indent=2)
+    return agg
+
+
+def inference(
+    params,
+    cfg: Dynam3DConfig,
+    feeds: Sequence[Feed],
+    episode_ids: Sequence[str],
+    tokenizer=None,
+    out_path: Optional[str] = None,
+    rank: int = 0,
+    world: int = 1,
+) -> Dict[str, list]:
+    """Leaderboard inference (ss_trainer_Dynam3D.py:433-554): dedup'd paths
+    capped at 500 poses, R2R-style json output."""
+    from dynam3d_tpu.runtime.episode import EpisodeRunner
+
+    idxs = metrics_mod.shard_episodes(range(len(feeds)), rank, world)
+    runner = EpisodeRunner(params, cfg, tokenizer)
+    paths: Dict[str, list] = {}
+    for i in idxs:
+        res = runner.run([feeds[i]], max_steps=cfg.train.max_traj_len)[0]
+        pos = res.get("position", [[0.0, 0.0, 0.0]])
+        hds = res.get("heading", [0.0] * len(pos))
+        paths[str(episode_ids[i])] = metrics_mod.dedup_path(
+            pos, hds, cfg.eval.max_infer_positions
+        )
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(paths, f)
+    return paths
+
+
+def poll_checkpoint_folder(
+    ckpt_dir: str, seen: set, poll_s: float = 2.0, timeout_s: Optional[float] = None
+):
+    """Eval-forever loop (base_il_trainer.py:872-889): yield new ckpts by
+    mtime order as they appear."""
+    start = time.time()
+    while True:
+        cands = sorted(
+            glob.glob(os.path.join(ckpt_dir, "ckpt.iter*")), key=os.path.getmtime
+        )
+        for c in cands:
+            if c not in seen:
+                seen.add(c)
+                yield c
+        if timeout_s is not None and time.time() - start > timeout_s:
+            return
+        time.sleep(poll_s)

@@ -19,3 +19,6 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# persistent compile cache: the suite is compile-bound on CPU
+jax.config.update("jax_compilation_cache_dir", "/tmp/dynam3d_test_xla_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
