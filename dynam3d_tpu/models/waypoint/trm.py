@@ -50,11 +50,12 @@ def neighbor_attention_mask(num_imgs: int = 12, neighbor: int = 1) -> np.ndarray
 def predict_heatmap(
     params: Params, cfg: WaypointConfig, depth_feats: jnp.ndarray
 ) -> jnp.ndarray:
-    """Depth features ``[B*12, 128,4,4]`` (clockwise view order) -> heatmap
-    logits ``[B, 120, 12]`` with the +5 offset roll applied (TRM_net.py:62-88)."""
+    """Depth features ``[B*12, ...]`` (clockwise view order, any spatial
+    layout — the reference flattens 128*4*4) -> heatmap logits ``[B,120,12]``
+    with the +5 offset roll applied (TRM_net.py:62-88)."""
     B12 = depth_feats.shape[0]
     B = B12 // cfg.num_imgs
-    x = depth_feats.reshape(B12, -1)                      # flatten 128*4*4
+    x = depth_feats.reshape(B12, -1)
     x = jax.nn.relu(_dense(params["visual_fc_depth"], x))
     x = x.reshape(B, cfg.num_imgs, cfg.hidden_dim)
     mask = jnp.asarray(neighbor_attention_mask(cfg.num_imgs, cfg.trm_neighbor))
@@ -113,12 +114,14 @@ def extract_candidates(
     )
 
 
-def init_waypoint_params(key: jax.Array, cfg: WaypointConfig) -> Params:
+def init_waypoint_params(
+    key: jax.Array, cfg: WaypointConfig, depth_feat_dim: int = 128 * 4 * 4
+) -> Params:
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     d = cfg.hidden_dim
     per_img_angles = int(cfg.n_classes * (cfg.num_angles / cfg.num_imgs))
     return {
-        "visual_fc_depth": _init_dense(k1, 128 * 4 * 4, d),
+        "visual_fc_depth": _init_dense(k1, depth_feat_dim, d),
         "bert_layers": [
             init_encoder_layer(k, d, 4 * d) for k in jax.random.split(k2, cfg.trm_layers)
         ],
