@@ -1,0 +1,133 @@
+"""Tests for episode datasets and the discrete->CE converter."""
+
+import gzip
+import json
+import math
+import os
+import random
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+from dynam3d_tpu.runtime.datasets import (
+    Episode,
+    episodes_by_scene,
+    filter_episodes,
+    load_episodes,
+    load_gt,
+    sample_two_scene_files,
+    write_episodes,
+)
+import discrete_to_ce as d2c
+
+
+def _episode(i, scene="sceneA.basis.glb"):
+    return {
+        "episode_id": i,
+        "trajectory_id": i,
+        "scene_id": f"hm3d/train/{scene}",
+        "start_position": [0, 0, 0],
+        "start_rotation": [0, 0, 0, 1],
+        "info": {"geodesic_distance": 5.0},
+        "goals": [{"position": [1, 0, 1], "radius": 3.0}],
+        "instruction": {"instruction_text": f"go {i}", "instruction_tokens": [1, 2]},
+        "reference_path": [[0, 0, 0], [1, 0, 1]],
+    }
+
+
+def test_load_filter_group_roundtrip(tmp_path):
+    path = str(tmp_path / "val.json.gz")
+    with gzip.open(path, "wt") as f:
+        json.dump({"episodes": [_episode(1), _episode(2, "sceneB.glb")]}, f)
+    eps = load_episodes(path)
+    assert len(eps) == 2 and eps[0].instruction_text == "go 1"
+    only1 = filter_episodes(eps, allowed_ids=["1"])
+    assert [e.episode_id for e in only1] == ["1"]
+    groups = episodes_by_scene(eps)
+    assert set(groups) == {"sceneA", "sceneB"}
+    out = str(tmp_path / "out.json.gz")
+    write_episodes(out, eps)
+    again = load_episodes(out)
+    assert [e.episode_id for e in again] == ["1", "2"]
+
+
+def test_load_gt(tmp_path):
+    path = str(tmp_path / "val_gt.json.gz")
+    with gzip.open(path, "wt") as f:
+        json.dump({"7": {"locations": [[0, 0, 0]], "actions": [1]}}, f)
+    gt = load_gt(path)
+    assert gt["7"]["actions"] == [1]
+
+
+def test_sample_two_scene_files(tmp_path):
+    for name in ("a.basis.json", "b.basis.json", "c.json"):
+        (tmp_path / name).write_text("[]")
+    rng = random.Random(0)
+    files = sample_two_scene_files(str(tmp_path), rng)
+    assert len(files) == 2
+
+
+def _write_connectivity(tmp_path, scan="hm3d-xyzscene"):
+    # 3 nodes in a line, 1m apart (MatterSim frame: pose matrix translation)
+    nodes = []
+    for i, (x, y, z) in enumerate([(0, 0, 1.5), (1, 0, 1.5), (2, 0, 1.5)]):
+        pose = [0.0] * 16
+        pose[3], pose[7], pose[11] = x, y, z
+        nodes.append(
+            {
+                "image_id": f"vp{i}",
+                "pose": pose,
+                "included": True,
+                "unobstructed": [abs(j - i) == 1 for j in range(3)],
+            }
+        )
+    with open(tmp_path / f"{scan}_connectivity.json", "w") as f:
+        json.dump(nodes, f)
+    return scan
+
+
+def test_convert_items(tmp_path):
+    scan = _write_connectivity(tmp_path)
+    items = [
+        {
+            "scan": scan,
+            "path": ["vp0", "vp1", "vp2"],
+            "heading": 0.5,
+            "instructions": ["walk to the far end of the corridor"],
+            "instr_encodings": [[1, 2, 3]],
+        },
+        {  # banned word -> filtered
+            "scan": scan,
+            "path": ["vp0", "vp1"],
+            "heading": 0.0,
+            "instructions": ["look at the painting"],
+        },
+        {  # too long -> filtered
+            "scan": scan,
+            "path": ["vp0", "vp1"],
+            "heading": 0.0,
+            "instructions": [" ".join(["word"] * 30)],
+        },
+    ]
+    eps, gts = d2c.convert_items(items, str(tmp_path))
+    assert len(eps) == 1 and len(gts) == 1
+    e = eps[0]
+    # MatterSim (x,y,z) -> habitat (x,z,-y)
+    np.testing.assert_allclose(e["start_position"], [0.0, 1.5, 0.0])
+    np.testing.assert_allclose(e["goals"][0]["position"], [2.0, 1.5, 0.0])
+    assert abs(e["info"]["geodesic_distance"] - 2.0) < 1e-6
+    assert gts[str(e["episode_id"])]["forward_steps"] == 18
+    # rotation quaternion is unit-norm
+    q = np.asarray(e["start_rotation"])
+    np.testing.assert_allclose(np.linalg.norm(q), 1.0, rtol=1e-6)
+
+
+def test_graph_geodesic_disconnected(tmp_path):
+    scan = _write_connectivity(tmp_path)
+    pos = d2c.load_connectivity(str(tmp_path), scan)
+    edges = d2c.graph_edges(str(tmp_path), scan)
+    edges["vp1"] = []  # cut the line
+    edges["vp0"] = []
+    assert math.isinf(d2c.graph_geodesic(pos, edges, "vp0", "vp2"))
