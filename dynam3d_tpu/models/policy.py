@@ -266,6 +266,36 @@ def train_loss(
     )
 
 
+def full_step(
+    params: Params,
+    cfg: Dynam3DConfig,
+    state: FieldState,
+    rgb: jnp.ndarray,
+    depth_raw: jnp.ndarray,
+    position_hab: jnp.ndarray,
+    heading: jnp.ndarray,
+    input_ids: jnp.ndarray,
+    text_valid: jnp.ndarray,
+    splice_start: int = 2,
+) -> Tuple[FieldState, jnp.ndarray]:
+    """Perceive + generate fused into ONE device program.
+
+    The prompt depends only on the instruction and the PREVIOUS steps'
+    history, so the host can tokenize before dispatch; fusing halves the
+    per-step dispatch count (each host<->device round trip costs ~25 ms over
+    a tunneled chip and ~10 us of launch overhead on a local one, and fusing
+    also lets XLA overlap the vision tower with the prefill).
+
+    Returns (new_state, generated ids [B, max_new_tokens]).
+    """
+    out = perceive(params, cfg, state, rgb, depth_raw, position_hab, heading)
+    gen = generate_action_ids(
+        params, cfg, input_ids, text_valid, out.mm_tokens, out.mm_valid,
+        splice_start,
+    )
+    return out.state, gen
+
+
 def batched_init_state(cfg: Dynam3DConfig, batch: int) -> FieldState:
     one = init_state(cfg.fields)
     return jax.tree_util.tree_map(

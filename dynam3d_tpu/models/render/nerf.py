@@ -47,8 +47,23 @@ def nerf_mlp(p: Params, x: jnp.ndarray, cfg: FieldsConfig) -> Tuple[jnp.ndarray,
 
     Matches patch_to_nerf_encode (":477-491"): encoder = 2 hidden LeakyReLU
     layers -> width+1 with LeakyReLU output; decoder = 2 hidden layers, linear
-    out.  Runs in bf16 like the fp16 tinycudann CutlassMLP.
+    out.  Runs in bf16 like the fp16 tinycudann CutlassMLP.  On TPU the whole
+    chain dispatches to the fused Pallas kernel (ops/pallas_mlp.py).
     """
+    import os
+
+    if (
+        jax.default_backend() == "tpu"
+        and len(p["enc_hidden"]) == 2
+        and len(p["dec_hidden"]) == 2
+        and not os.environ.get("DYNAM3D_DISABLE_PALLAS")
+    ):
+        from dynam3d_tpu.ops.pallas_mlp import fused_nerf_mlp
+
+        return fused_nerf_mlp(
+            x, p["enc_hidden"][0], p["enc_hidden"][1], p["enc_out"],
+            p["dec_hidden"][0], p["dec_hidden"][1], p["dec_out"],
+        )
     h = x.astype(jnp.bfloat16)
     for w in p["enc_hidden"]:
         h = _leaky(jnp.dot(h, w, preferred_element_type=jnp.float32).astype(jnp.bfloat16))
@@ -130,7 +145,9 @@ def render_view(
     ray_xyz = jnp.stack([ray_x, ray_y, ray_z], axis=-1)     # [R,NS,3]
 
     # stage 1: density proxy from k-NN over ALL sample points (":538-552")
-    sq_d, _ = knn_tiled(
+    from dynam3d_tpu.ops.pallas_knn import knn_auto
+
+    sq_d, _ = knn_auto(
         ray_xyz.reshape(-1, 3), state.patch_pos, state.patch_valid, K
     )
     d1, _ = radius_mask_fill(sq_d, jnp.zeros_like(sq_d, jnp.int32),

@@ -60,6 +60,12 @@ class EpisodeRunner:
                 p, cfg, ids, tv, mm, mv, self.splice_start
             )
         )
+        # fused single-dispatch step (tokenize first, then one device call)
+        self._full_step = jax.jit(
+            lambda p, st, rgb, d, pos, hd, ids, tv: policy_mod.full_step(
+                p, cfg, st, rgb, d, pos, hd, ids, tv, self.splice_start
+            )
+        )
 
     # ------------------------------------------------------------------
     def _prompt_ids(
@@ -107,14 +113,13 @@ class EpisodeRunner:
             pos = jnp.asarray(np.stack([obs[i].position for i in live]))
             hd = jnp.asarray(np.asarray([obs[i].heading for i in live], np.float32))
 
-            out = self._perceive(self.params, state, rgb, depth, pos, hd)
-            state = out.state
-
             ids, tvalid, _ = self._prompt_ids(
                 [obs[i].instruction for i in live],
                 [act_state[i].history_actions for i in live],
             )
-            gen = self._generate(self.params, ids, tvalid, out.mm_tokens, out.mm_valid)
+            state, gen = self._full_step(
+                self.params, state, rgb, depth, pos, hd, ids, tvalid
+            )
             gen = np.asarray(gen)
 
             done_now: List[int] = []
