@@ -169,6 +169,24 @@ class SyntheticRoomFeed:
         p = self._pos if position is None else position
         return float(np.linalg.norm(np.asarray(p)[[0, 2]] - self.goal[[0, 2]]))
 
+    def get_cand_real_pos(self, angle: float, forward: float):
+        """Oracle RPC (environments.py:139-161): resulting position of a
+        candidate move, WITHOUT mutating the live state."""
+        h = (self._heading + angle) % (2 * math.pi)
+        nx = np.clip(self._pos[0] - math.sin(h) * forward, 0.2, self.room[0] - 0.2)
+        nz = np.clip(self._pos[2] - math.cos(h) * forward, 0.2, self.room[1] - 0.2)
+        return np.asarray([nx, self._pos[1], nz], np.float32)
+
+    def get_observation(self, source_position, heading: float) -> Observation:
+        """Oracle RPC (environments.py:55-61): render at an arbitrary pose
+        (novel-view sampling for 3DFF pretraining) without moving the agent."""
+        saved_pos, saved_heading = self._pos.copy(), self._heading
+        self._pos = np.asarray(source_position, np.float32)
+        self._heading = float(heading) % (2 * math.pi)
+        obs = self._render()
+        self._pos, self._heading = saved_pos, saved_heading
+        return obs
+
     def cand_dist_to_goal(self, angle: float, forward: float) -> float:
         """Oracle RPC equivalent (environments.py:259-286): simulate the
         candidate move from the CURRENT state and return distance-to-goal."""

