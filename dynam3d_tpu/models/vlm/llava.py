@@ -93,7 +93,10 @@ def teacher_forced_loss(
     cache = phi3.init_cache(p3, B, T, dtype=embeds.dtype)
     positions = jnp.maximum(jnp.cumsum(attn_valid.astype(jnp.int32), axis=1) - 1, 0)
     mask = phi3.prefill_mask(attn_valid, T)
-    logits, _ = phi3.forward(params["phi3"], p3, embeds, positions, cache, 0, mask)
+    # remat per layer == the reference's gradient_checkpointing_enable
+    logits, _ = phi3.forward(
+        params["phi3"], p3, embeds, positions, cache, 0, mask, remat=True
+    )
 
     Tg = label_ids.shape[1]
     # gather logits at [prompt_len-1 + j] for j in 0..Tg

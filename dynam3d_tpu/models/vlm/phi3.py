@@ -111,12 +111,19 @@ def forward(
     cache: KVCache,
     write_at,                     # int/scalar: cache slot of embeds[:,0]
     attn_mask: jnp.ndarray,       # [B,T,Tc]
+    remat: bool = False,
 ) -> Tuple[jnp.ndarray, KVCache]:
-    """Run the decoder stack; returns logits ``[B,T,V]`` and updated cache."""
+    """Run the decoder stack; returns logits ``[B,T,V]`` and updated cache.
+
+    ``remat=True`` rematerializes each layer on the backward pass — the
+    reference's ``llava.gradient_checkpointing_enable()``
+    (Policy_Dynam3D_VLN.py:129) — trading ~30% extra forward FLOPs for
+    O(1-layer) activation memory in training."""
     x = embeds
     ks, vs = [], []
+    layer_fn = jax.checkpoint(_layer, static_argnums=(1,)) if remat else _layer
     for li in range(cfg.num_layers):
-        x, k_l, v_l = _layer(
+        x, k_l, v_l = layer_fn(
             params["layers"][li], cfg, x, positions,
             cache.k[li], cache.v[li], write_at, attn_mask,
         )
