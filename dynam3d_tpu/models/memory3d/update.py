@@ -249,10 +249,6 @@ def update_view(
     ) & state.zone_valid[None, :]                            # [S,Z]
     zone_exists = jnp.any(key_eq, axis=1)
     existing_id = jnp.argmax(key_eq, axis=1)
-    is_new_zone = cell_real & ~zone_exists
-    z_rank = jnp.cumsum(is_new_zone.astype(jnp.int32)) - 1
-    free_zone = first_free_slots(state.zone_valid, S)
-    zid = jnp.where(zone_exists, existing_id, free_zone[jnp.clip(z_rank, 0, S - 1)])
 
     # members: ALL valid instances currently in the cell (":708,736")
     inst_cells = cell_center(inst_pos, cfg)
@@ -261,6 +257,13 @@ def update_view(
         & inst_valid[None, :]
         & cell_real[:, None]
     )                                                        # [S,I]
+    zone_has_members = jnp.any(zmember, axis=1)
+    # ids are consumed only by zones that will be written (member-less touched
+    # cells are skipped entirely, see the divergence note in the docstring)
+    is_new_zone = cell_real & ~zone_exists & zone_has_members
+    z_rank = jnp.cumsum(is_new_zone.astype(jnp.int32)) - 1
+    free_zone = first_free_slots(state.zone_valid, S)
+    zid = jnp.where(zone_exists, existing_id, free_zone[jnp.clip(z_rank, 0, S - 1)])
     Km = cfg.max_zone_members
     zkeys = jnp.where(zmember, jnp.arange(cfg.instance_capacity)[None, :], cfg.instance_capacity)
     zslots = jnp.sort(zkeys, axis=1)[:, :Km]

@@ -1,0 +1,83 @@
+"""Table-for-table parity: the batched TPU update vs the dict-based emulator
+of the reference algorithm, over multi-step episodes with merges."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dynam3d_tpu.config import FieldsConfig
+from dynam3d_tpu.models.memory3d import init_field_params, init_state, update_view
+from tests.reference_emulator import RefEmulator
+
+CFG = FieldsConfig(
+    input_height=4, input_width=4, fts_dim=64,
+    patch_capacity=256, instance_capacity=64, zone_capacity=32,
+    max_segments=8, max_members=64, max_zone_members=16,
+)
+HW = 16
+
+
+def _run_both(n_steps=3, seed=0):
+    rng = np.random.default_rng(seed)
+    params = init_field_params(jax.random.PRNGKey(seed), CFG)
+    state = init_state(CFG)
+    emu = RefEmulator(params, CFG)
+
+    for t in range(n_steps):
+        depth = rng.uniform(1.0, 6.0, HW).astype(np.float32)
+        grid = rng.normal(size=(HW, CFG.fts_dim)).astype(np.float32)
+        segm = np.repeat(rng.permutation(4), 4).astype(np.int32)
+        pos = np.float32([0.2 * t, 0.1 * t, 1.25])
+        hd = np.float32(0.15 * t)
+        state, _ = update_view(
+            params, state, CFG, jnp.asarray(depth), jnp.asarray(grid),
+            jnp.asarray(segm), jnp.asarray(pos), jnp.asarray(hd),
+        )
+        emu.update(depth, grid, segm, pos, hd)
+    return state, emu
+
+
+def test_tables_match_reference_emulator():
+    state, emu = _run_both(n_steps=3)
+
+    np.testing.assert_array_equal(np.asarray(state.inst_valid), emu.inst_valid)
+    iv = emu.inst_valid
+    np.testing.assert_allclose(
+        np.asarray(state.inst_pos)[iv], emu.inst_pos[iv], rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.inst_fts)[iv], emu.inst_fts[iv], rtol=2e-2, atol=2e-2
+    )
+
+    np.testing.assert_array_equal(np.asarray(state.patch_valid), emu.patch_valid)
+    pv = emu.patch_valid
+    np.testing.assert_allclose(
+        np.asarray(state.patch_pos)[pv], emu.patch_pos[pv], rtol=1e-4, atol=1e-4
+    )
+    # ownerships identical
+    owners = np.asarray(state.patch_owner)
+    for s, iid in emu.patch_to_instance.items():
+        assert owners[s] == iid, f"patch {s}: {owners[s]} != {iid}"
+
+    np.testing.assert_array_equal(np.asarray(state.zone_valid), emu.zone_valid)
+    zv = emu.zone_valid
+    np.testing.assert_allclose(
+        np.asarray(state.zone_pos)[zv], emu.zone_pos[zv], rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.zone_fts)[zv], emu.zone_fts[zv], rtol=2e-2, atol=2e-2
+    )
+    # zone keys match the dict
+    zk = np.asarray(state.zone_key)
+    for key, zid in emu.zone_key_to_id.items():
+        np.testing.assert_allclose(zk[zid], key, atol=1e-5)
+
+
+def test_parity_across_seeds():
+    for seed in (1, 2):
+        state, emu = _run_both(n_steps=2, seed=seed)
+        np.testing.assert_array_equal(np.asarray(state.inst_valid), emu.inst_valid)
+        iv = emu.inst_valid
+        np.testing.assert_allclose(
+            np.asarray(state.inst_pos)[iv], emu.inst_pos[iv], rtol=1e-3, atol=1e-3
+        )
