@@ -59,6 +59,8 @@ class VLNTrainer:
         recycle_every: int = 20,
         rank: int = 0,
         world: int = 1,
+        waypoint_params=None,
+        depth_enc_params=None,
     ):
         self.cfg = cfg
         self.feed_factory = feed_factory
@@ -80,6 +82,32 @@ class VLNTrainer:
         self._step_fn = jax.jit(
             trainer_vln.make_train_step(cfg, self.optimizer, self.splice_start)
         )
+        # frozen waypoint predictor path (used when the feed provides the
+        # 12-view depth panorama, as the reference does at
+        # ss_trainer_Dynam3D.py:636-640); geometric candidates otherwise
+        self.waypoint_params = waypoint_params
+        self.depth_enc_params = depth_enc_params
+        if waypoint_params is not None and depth_enc_params is not None:
+            from dynam3d_tpu.models import policy_3dff
+            from dynam3d_tpu.models.encoders.depth_resnet import (
+                encode_depth, preprocess_depth,
+            )
+            from dynam3d_tpu.models.waypoint.trm import (
+                extract_candidates, predict_heatmap,
+            )
+
+            def _wp(dep12):  # [1,12,Hd,Wd] normalized depth
+                d = policy_3dff.clockwise_reorder(dep12)
+                d = preprocess_depth(
+                    d.reshape(12, *d.shape[2:])[..., None], (0.0, 10.0)
+                ) / 10.0
+                feats = encode_depth(depth_enc_params, cfg.depth, d)
+                hm = predict_heatmap(waypoint_params, cfg.waypoint, feats)
+                return extract_candidates(cfg.waypoint, hm)
+
+            self._waypoint_fn = jax.jit(_wp)
+        else:
+            self._waypoint_fn = None
         self._episodes_done = 0
         self.logs: Dict[str, List[float]] = {"IL_loss": []}
 
@@ -159,8 +187,17 @@ class VLNTrainer:
 
     # ------------------------------------------------------------------
     def _candidates(self, feed: Feed, obs):
-        """Candidate waypoints; the frozen predictor path when depth feats are
-        wired, else the feed's geometric candidates (12 headings x 3 ranges)."""
+        """Candidate waypoints: the frozen waypoint predictor over the 12-view
+        depth panorama when available (the reference path), else a geometric
+        12-heading x 3-range candidate fan."""
+        if self._waypoint_fn is not None and obs.depth.shape[0] == 12:
+            c = self._waypoint_fn(jnp.asarray(obs.depth[None]))
+            m = np.asarray(c.mask[0])
+            if m.any():
+                return (
+                    np.asarray(c.angles_ccw[0])[m].tolist(),
+                    np.asarray(c.distances[0])[m].tolist(),
+                )
         angles = [i * (2 * np.pi / 12) for i in range(12)]
         dists = [0.25, 0.75, 1.5]
         ca, cd = [], []
