@@ -179,5 +179,35 @@ def main():
     )
 
 
-if __name__ == "__main__":
+def _watchdog_main():
+    """Bound the whole run: if the tunnel/device stalls (observed failure
+    mode: a killed transfer wedges the remote session and every dispatch
+    hangs), still emit ONE JSON line so the driver records something."""
+    import signal
+    import sys
+
+    budget = int(os.environ.get("DYNAM3D_BENCH_BUDGET_S", "2700"))
+
+    def on_alarm(signum, frame):
+        print(
+            json.dumps(
+                {
+                    "metric": "p50_step_latency_ms",
+                    "value": -1.0,
+                    "unit": "ms",
+                    "vs_baseline": 0.0,
+                    "extra": {"error": f"device stalled; aborted after {budget}s"},
+                }
+            ),
+            flush=True,
+        )
+        sys.exit(0)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(budget)
     main()
+    signal.alarm(0)
+
+
+if __name__ == "__main__":
+    _watchdog_main()

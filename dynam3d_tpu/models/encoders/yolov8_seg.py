@@ -21,12 +21,10 @@ a ``width=0.25``-style tiny config drives tests.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, List, NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 Params = Dict[str, Any]
 

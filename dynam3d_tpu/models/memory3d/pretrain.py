@@ -20,17 +20,11 @@ from __future__ import annotations
 
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 
 from dynam3d_tpu.config import FieldsConfig
 from dynam3d_tpu.models.memory3d.state import FieldState, cell_center
-from dynam3d_tpu.models.memory3d.update import (
-    ViewAux,
-    _num_heads,
-    _first_k_true,
-    update_view,
-)
+from dynam3d_tpu.models.memory3d.update import ViewAux, _num_heads, update_view
 from dynam3d_tpu.ops.knn import knn_brute
 from dynam3d_tpu.ops.segment import segment_mean
 from dynam3d_tpu.ops.transformer import encoder_stack, mlp2

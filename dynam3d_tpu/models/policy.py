@@ -21,12 +21,10 @@ dynamic prompt.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from dynam3d_tpu.config import Dynam3DConfig
 from dynam3d_tpu.geom.projection import patch_3d_info, habitat_to_world
@@ -42,7 +40,6 @@ from dynam3d_tpu.models.memory3d import (
 )
 from dynam3d_tpu.models.segmenter import depth_plane_segments
 from dynam3d_tpu.models.vlm import llava as llava_mod
-from dynam3d_tpu.models.vlm import phi3
 from dynam3d_tpu.ops.segment import first_free_slots
 from dynam3d_tpu.ops.transformer import init_mlp2, mlp2
 

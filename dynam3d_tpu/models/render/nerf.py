@@ -27,12 +27,11 @@ from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from dynam3d_tpu.config import FieldsConfig
 from dynam3d_tpu.geom.projection import ray_grid_habitat
 from dynam3d_tpu.models.memory3d.state import FieldState
-from dynam3d_tpu.ops.knn import knn_brute, knn_tiled, radius_mask_fill
+from dynam3d_tpu.ops.knn import knn_brute, radius_mask_fill
 from dynam3d_tpu.ops.transformer import layer_norm
 
 Params = Dict[str, Any]

@@ -16,7 +16,7 @@ Port of the reference's 3D-VLM usage of HF LlavaForConditionalGeneration
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

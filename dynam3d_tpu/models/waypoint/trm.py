@@ -16,7 +16,7 @@ BERT's 1e-12 LayerNorm eps and no final norm (waypoint_bert.py:116-141).
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

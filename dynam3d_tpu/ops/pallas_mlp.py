@@ -14,7 +14,7 @@ accumulation); that function dispatches here on TPU.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ import json
 import logging
 import os
 import random
-from typing import Callable, Dict
+from typing import Dict
 
 import numpy as np
 

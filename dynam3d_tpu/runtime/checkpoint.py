@@ -330,3 +330,142 @@ def checkpoint_step(path: str) -> int:
     """ckpt id from filename (base_il_trainer.py:891-895)."""
     m = re.search(r"iter(\d+)", os.path.basename(path))
     return int(m.group(1)) if m else -1
+
+
+# --------------------------------------------------------------------------
+# YOLOv8-seg / FastSAM (ultralytics layout, BN folding)
+# --------------------------------------------------------------------------
+def conv_bn_from_torch(sd: Mapping, prefix: str, eps: float = 1e-3) -> Dict[str, Any]:
+    """ultralytics ``Conv`` = Conv2d(bias=False) + BatchNorm2d -> folded
+    HWIO conv weight + bias (our yolov8_seg._conv layout)."""
+    w = _np(sd[f"{prefix}.conv.weight"])          # [O,I,kh,kw]
+    gamma = _np(sd[f"{prefix}.bn.weight"])
+    beta = _np(sd[f"{prefix}.bn.bias"])
+    mean = _np(sd[f"{prefix}.bn.running_mean"])
+    var = _np(sd[f"{prefix}.bn.running_var"])
+    scale = gamma / np.sqrt(var + eps)
+    w_f = w * scale[:, None, None, None]
+    b_f = beta - mean * scale
+    return {"w": jnp.asarray(w_f.transpose(2, 3, 1, 0)), "b": jnp.asarray(b_f)}
+
+
+def plain_conv_from_torch(sd: Mapping, prefix: str) -> Dict[str, Any]:
+    """Bare Conv2d (the detect-head output convs, which have bias, no BN)."""
+    w = _np(sd[f"{prefix}.weight"])
+    b = _np(sd.get(f"{prefix}.bias", np.zeros(w.shape[0], np.float32)))
+    return {"w": jnp.asarray(w.transpose(2, 3, 1, 0)), "b": jnp.asarray(b)}
+
+
+def _c2f_from_torch(sd: Mapping, prefix: str, n: int) -> Dict[str, Any]:
+    return {
+        "cv1": conv_bn_from_torch(sd, f"{prefix}.cv1"),
+        "m": [
+            {
+                "cv1": conv_bn_from_torch(sd, f"{prefix}.m.{i}.cv1"),
+                "cv2": conv_bn_from_torch(sd, f"{prefix}.m.{i}.cv2"),
+            }
+            for i in range(n)
+        ],
+        "cv2": conv_bn_from_torch(sd, f"{prefix}.cv2"),
+    }
+
+
+def yolov8_params_from_torch(
+    sd: Mapping, depth_n=(3, 6, 6, 3)
+) -> Dict[str, Any]:
+    """FastSAM-x state dict (``model.model.N`` ultralytics indexing) -> our
+    yolov8_seg param tree.  Layer indices follow the yolov8-seg yaml:
+    0 stem, 1 down1, 2 c2f1, 3 down2, 4 c2f2, 5 down3, 6 c2f3, 7 down4,
+    8 c2f4, 9 sppf, 12/15/18/21 neck c2fs, 16/19 pan convs, 22 Segment head.
+    """
+    n1, n2, n3, n4 = depth_n
+    m = "model.model"
+    p: Dict[str, Any] = {
+        "stem": conv_bn_from_torch(sd, f"{m}.0"),
+        "down1": conv_bn_from_torch(sd, f"{m}.1"),
+        "c2f1": _c2f_from_torch(sd, f"{m}.2", n1),
+        "down2": conv_bn_from_torch(sd, f"{m}.3"),
+        "c2f2": _c2f_from_torch(sd, f"{m}.4", n2),
+        "down3": conv_bn_from_torch(sd, f"{m}.5"),
+        "c2f3": _c2f_from_torch(sd, f"{m}.6", n3),
+        "down4": conv_bn_from_torch(sd, f"{m}.7"),
+        "c2f4": _c2f_from_torch(sd, f"{m}.8", n4),
+        "sppf": {
+            "cv1": conv_bn_from_torch(sd, f"{m}.9.cv1"),
+            "cv2": conv_bn_from_torch(sd, f"{m}.9.cv2"),
+        },
+        "neck1": _c2f_from_torch(sd, f"{m}.12", n1),
+        "neck2": _c2f_from_torch(sd, f"{m}.15", n1),
+        "pan1": conv_bn_from_torch(sd, f"{m}.16"),
+        "neck3": _c2f_from_torch(sd, f"{m}.18", n1),
+        "pan2": conv_bn_from_torch(sd, f"{m}.19"),
+        "neck4": _c2f_from_torch(sd, f"{m}.21", n1),
+        "proto": {
+            "cv1": conv_bn_from_torch(sd, f"{m}.22.proto.cv1"),
+            "cv2": conv_bn_from_torch(sd, f"{m}.22.proto.cv2"),
+            "cv3": conv_bn_from_torch(sd, f"{m}.22.proto.cv3"),
+        },
+        "det": [],
+    }
+    for i in range(3):
+        p["det"].append(
+            {
+                "box0": conv_bn_from_torch(sd, f"{m}.22.cv2.{i}.0"),
+                "box1": conv_bn_from_torch(sd, f"{m}.22.cv2.{i}.1"),
+                "box2": plain_conv_from_torch(sd, f"{m}.22.cv2.{i}.2"),
+                "cls0": conv_bn_from_torch(sd, f"{m}.22.cv3.{i}.0"),
+                "cls1": conv_bn_from_torch(sd, f"{m}.22.cv3.{i}.1"),
+                "cls2": plain_conv_from_torch(sd, f"{m}.22.cv3.{i}.2"),
+                "m0": conv_bn_from_torch(sd, f"{m}.22.cv4.{i}.0"),
+                "m1": conv_bn_from_torch(sd, f"{m}.22.cv4.{i}.1"),
+                "m2": plain_conv_from_torch(sd, f"{m}.22.cv4.{i}.2"),
+            }
+        )
+    return p
+
+
+# --------------------------------------------------------------------------
+# DDPPO depth resnet50 (habitat gibson-2plus checkpoint)
+# --------------------------------------------------------------------------
+def depth_resnet_from_torch(sd: Mapping) -> Dict[str, Any]:
+    """gibson-2plus-resnet50.pth visual_encoder weights -> depth_resnet params.
+
+    The reference strips the ``actor_critic.net.visual_encoder.`` prefix
+    first (resnet_encoders.py:40-52); pass that stripped dict here.
+    """
+
+    def conv(prefix):
+        return {"w": jnp.asarray(_np(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0))}
+
+    def gn(prefix):
+        return {
+            "scale": jnp.asarray(_np(sd[f"{prefix}.weight"])),
+            "bias": jnp.asarray(_np(sd[f"{prefix}.bias"])),
+        }
+
+    stages = []
+    blocks_per = [3, 4, 6, 3]
+    for si, nb in enumerate(blocks_per):
+        stage = []
+        for bi in range(nb):
+            b = f"backbone.layer{si + 1}.{bi}"
+            blk = {
+                "conv1": conv(f"{b}.convs.0"),
+                "gn1": gn(f"{b}.convs.1"),
+                "conv2": conv(f"{b}.convs.3"),
+                "gn2": gn(f"{b}.convs.4"),
+                "conv3": conv(f"{b}.convs.6"),
+                "gn3": gn(f"{b}.convs.7"),
+            }
+            if bi == 0:
+                blk["down_conv"] = conv(f"{b}.downsample.0")
+                blk["down_gn"] = gn(f"{b}.downsample.1")
+            stage.append(blk)
+        stages.append(stage)
+    return {
+        "stem_conv": conv("backbone.conv1.0"),
+        "stem_gn": gn("backbone.conv1.1"),
+        "stages": stages,
+        "compress_conv": conv("compression.0"),
+        "compress_gn": gn("compression.1"),
+    }

@@ -15,9 +15,7 @@ Step record layout (raw little-endian, fixed stride):
 
 from __future__ import annotations
 
-import json
-import os
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 

@@ -19,8 +19,6 @@ import os
 import random
 from typing import Dict, List, Optional, Sequence
 
-import numpy as np
-
 
 @dataclasses.dataclass
 class Episode:

@@ -8,8 +8,7 @@ programs run per step (perceive, generate) — all heavy state stays on device.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -19,12 +18,8 @@ from dynam3d_tpu.config import Dynam3DConfig
 from dynam3d_tpu.models import policy as policy_mod
 from dynam3d_tpu.models.policy import I_ENV, Z_ENV
 from dynam3d_tpu.models.vlm.tokenizer import ByteTokenizer, build_prompt
-from dynam3d_tpu.runtime.feed import Feed, Observation, STOP
-from dynam3d_tpu.utils.actions import (
-    EpisodeActionState,
-    gt_text as make_gt_text,
-    parse_action,
-)
+from dynam3d_tpu.runtime.feed import Feed, STOP
+from dynam3d_tpu.utils.actions import EpisodeActionState, parse_action
 
 
 def _round_up(n: int, m: int) -> int:
@@ -93,7 +88,42 @@ class EpisodeRunner:
         return jnp.asarray(ids), jnp.asarray(valid), lens
 
     # ------------------------------------------------------------------
-    def run(self, feeds: Sequence[Feed], max_steps: Optional[int] = None) -> List[Dict]:
+    def pre_explore(
+        self,
+        feeds: Sequence[Feed],
+        state,
+        steps: int,
+        rng: Optional[np.random.Generator] = None,
+    ):
+        """Lifelong-memory pre-exploration (BASELINE config 5): walk the scene
+        feeding observations into the 3D memory WITHOUT consuming VLM steps,
+        so navigation starts with a pre-built instance/zone map.  Feeds are
+        reset afterwards; the memory persists."""
+        rng = rng or np.random.default_rng(0)
+        obs = [f.reset() for f in feeds]
+        for _ in range(steps):
+            rgb = jnp.asarray(np.stack([o.rgb for o in obs]))
+            depth = jnp.asarray(np.stack([o.depth for o in obs]))
+            pos = jnp.asarray(np.stack([o.position for o in obs]))
+            hd = jnp.asarray(np.asarray([o.heading for o in obs], np.float32))
+            out = self._perceive(self.params, state, rgb, depth, pos, hd)
+            state = out.state
+            for i, f in enumerate(feeds):
+                o, done, _ = f.step(
+                    (float(rng.uniform(0, 2 * np.pi)), float(rng.choice([0.25, 0.5])))
+                )
+                obs[i] = o
+        for f in feeds:
+            f.reset()
+        return state
+
+    # ------------------------------------------------------------------
+    def run(
+        self,
+        feeds: Sequence[Feed],
+        max_steps: Optional[int] = None,
+        pre_explore_steps: int = 0,
+    ) -> List[Dict]:
         """Greedy closed-loop eval of one episode per feed (batched).
 
         Returns per-episode info dicts (positions, steps, final distance).
@@ -101,9 +131,11 @@ class EpisodeRunner:
         cfg = self.cfg
         max_steps = max_steps or cfg.train.max_traj_len
         B = len(feeds)
+        state = policy_mod.batched_init_state(cfg, B)
+        if pre_explore_steps:
+            state = self.pre_explore(feeds, state, pre_explore_steps)
         obs = [f.reset() for f in feeds]
         act_state = [EpisodeActionState() for _ in range(B)]
-        state = policy_mod.batched_init_state(cfg, B)
         live = list(range(B))
         results: List[Optional[Dict]] = [None] * B
 

@@ -14,8 +14,7 @@ so reported nDTW is >= the reference's on identical paths.
 
 from __future__ import annotations
 
-import math
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

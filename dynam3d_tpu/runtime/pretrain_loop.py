@@ -20,8 +20,7 @@ train step -> scalars -> periodic checkpoint.
 from __future__ import annotations
 
 import math
-import random
-from typing import Callable, Dict, List, Optional, Protocol, Sequence, Tuple
+from typing import Dict, List, Optional, Protocol, Sequence
 
 import jax
 import jax.numpy as jnp

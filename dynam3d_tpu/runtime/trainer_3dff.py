@@ -23,14 +23,14 @@ CE /10, and instance/zone-text alignment (NCE/5 + category CE/10), mirroring
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 
 from dynam3d_tpu.config import Dynam3DConfig
-from dynam3d_tpu.models.memory3d.pretrain import PretrainAux, update_view_pretrain
+from dynam3d_tpu.models.memory3d.pretrain import update_view_pretrain
 from dynam3d_tpu.models.memory3d.state import FieldState
 from dynam3d_tpu.models.render.nerf import render_view
 from dynam3d_tpu.ops.knn import knn_brute

@@ -9,7 +9,6 @@ sync grads through the mesh's implicit psum (SURVEY.md §5.8).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax

@@ -16,7 +16,7 @@ import glob
 import json
 import os
 import time
-from typing import Any, Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -258,7 +258,6 @@ def evaluate(
     for i in idxs:
         res = runner.run([feeds[i]], max_steps=cfg.train.max_traj_len)[0]
         pred_path = np.asarray(res.get("position", [[0, 0, 0]]), np.float32)
-        d0 = feeds[i].oracle_distance(pred_path[0])
         dists = np.asarray(
             [feeds[i].oracle_distance(p) for p in pred_path], np.float32
         )
@@ -267,7 +266,6 @@ def evaluate(
             collisions=int(res.get("collisions", 0)),
             success_distance=cfg.eval.success_distance,
         )
-        del d0
     agg = metrics_mod.aggregate(list(stat_eps.values()))
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)

@@ -9,7 +9,7 @@ without cv2/habitat deps: pure-numpy rasterization; video is written as an
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 

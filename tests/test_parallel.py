@@ -1,0 +1,65 @@
+"""Parallel-layer tests: TP-sharded inference and DP training on the 8-device
+virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dynam3d_tpu.config import Phi3Config
+from dynam3d_tpu.models.vlm import phi3
+from dynam3d_tpu.parallel.mesh import make_mesh, phi3_param_specs, shard_tree
+
+TINY = Phi3Config(
+    vocab_size=256, hidden_size=64, intermediate_size=128,
+    num_layers=2, num_heads=4, num_kv_heads=4, head_dim=16,
+    pad_token_id=0, end_token_id=1,
+)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tp_sharded_decode_matches_single_device():
+    params = phi3.init_phi3_params(jax.random.PRNGKey(0), TINY, dtype=jnp.float32)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 200, (1, 12)))
+    valid = jnp.ones((1, 12), bool)
+    emb = phi3.embed(params, ids)
+
+    ref = np.asarray(phi3.greedy_decode(params, TINY, emb, valid, 5))
+
+    mesh = make_mesh(dp=2, tp=4)
+    specs = phi3_param_specs(params)
+    with mesh:
+        sharded = shard_tree(params, specs, mesh)
+        emb_s = jax.device_put(emb, NamedSharding(mesh, P()))
+        out = jax.jit(
+            lambda p, e: phi3.greedy_decode(p, TINY, e, valid, 5)
+        )(sharded, emb_s)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dryrun_multichip_entry():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_pre_exploration_builds_memory():
+    from dynam3d_tpu.models import policy as policy_mod
+    from dynam3d_tpu.runtime.episode import EpisodeRunner
+    from dynam3d_tpu.runtime.feed import SyntheticRoomFeed
+    from tests.test_e2e_slice import tiny_config
+
+    cfg = tiny_config()
+    params = policy_mod.init_policy_params(
+        jax.random.PRNGKey(0), cfg, llm_dtype=jnp.float32
+    )
+    runner = EpisodeRunner(params, cfg)
+    feeds = [SyntheticRoomFeed(rgb_size=56, depth_size=32, seed=0)]
+    state0 = policy_mod.batched_init_state(cfg, 1)
+    state = runner.pre_explore(feeds, state0, steps=2)
+    assert int(state.inst_valid.sum()) > int(state0.inst_valid.sum())
+    # full run with pre-exploration completes
+    res = runner.run(feeds, max_steps=2, pre_explore_steps=1)
+    assert res[0] is not None and res[0]["steps"] >= 1
