@@ -97,6 +97,7 @@ def main():
 
     scale = os.environ.get("DYNAM3D_BENCH_SCALE", "full")
     steps = int(os.environ.get("DYNAM3D_BENCH_STEPS", "12"))
+    B = int(os.environ.get("DYNAM3D_BENCH_BATCH", "1"))
     cfg = _config(scale)
 
     params = policy_mod.init_policy_params(jax.random.PRNGKey(0), cfg)
@@ -106,14 +107,17 @@ def main():
     feed = SyntheticRoomFeed(rgb_size=rgb_size, depth_size=depth_size, views=1)
 
     obs = feed.reset()
-    state = policy_mod.batched_init_state(cfg, 1)
+    state = policy_mod.batched_init_state(cfg, B)
+
+    def rep(x):
+        return jnp.asarray(np.broadcast_to(x[None], (B,) + x.shape))
 
     def one_step(state, obs, hist):
-        rgb = jnp.asarray(obs.rgb[None])
-        depth = jnp.asarray(obs.depth[None])
-        pos = jnp.asarray(obs.position[None])
-        hd = jnp.asarray(np.float32([obs.heading]))
-        ids, tvalid, _ = runner._prompt_ids([obs.instruction], [hist])
+        rgb = rep(obs.rgb)
+        depth = rep(obs.depth)
+        pos = rep(obs.position)
+        hd = jnp.asarray(np.full((B,), obs.heading, np.float32))
+        ids, tvalid, _ = runner._prompt_ids([obs.instruction] * B, [hist] * B)
         st, gen = runner._full_step(params, state, rgb, depth, pos, hd, ids, tvalid)
         _sync(gen)
         # perceive compiled separately for the fps metric
@@ -130,10 +134,10 @@ def main():
     lat, perc = [], []
     st = out.state
     for k in range(steps):
-        rgb = jnp.asarray(obs.rgb[None])
-        depth = jnp.asarray(obs.depth[None])
-        pos = jnp.asarray(obs.position[None])
-        hd = jnp.asarray(np.float32([obs.heading]))
+        rgb = rep(obs.rgb)
+        depth = rep(obs.depth)
+        pos = rep(obs.position)
+        hd = jnp.asarray(np.full((B,), obs.heading, np.float32))
         # fps metric: perceive-only
         t0 = time.time()
         o = runner._perceive(params, st, rgb, depth, pos, hd)
@@ -141,7 +145,7 @@ def main():
         t1 = time.time()
         perc.append(t1 - t0)
         # headline: the fused single-dispatch RGB-D -> action step
-        ids, tvalid, _ = runner._prompt_ids([obs.instruction], [hist])
+        ids, tvalid, _ = runner._prompt_ids([obs.instruction] * B, [hist] * B)
         t0 = time.time()
         st, g = runner._full_step(params, st, rgb, depth, pos, hd, ids, tvalid)
         _sync(g)
@@ -150,7 +154,7 @@ def main():
 
     p50_ms = float(np.percentile(lat, 50) * 1000.0)
     perc_p50 = float(np.percentile(perc, 50) * 1000.0)
-    fps = 1000.0 / perc_p50
+    fps = 1000.0 / perc_p50 * B
 
     vs = 1.0
     if os.path.exists("bench_baseline.json"):
@@ -173,6 +177,7 @@ def main():
                     "llm_layers": cfg.llava.phi3.num_layers,
                     "backend": jax.default_backend(),
                     "steps": steps,
+                    "batch": B,
                 },
             }
         )
