@@ -196,3 +196,36 @@ class EpisodeRunner:
                 "distance_to_goal": feeds[i].oracle_distance(),
             }
         return results  # type: ignore[return-value]
+
+    # ------------------------------------------------------------------
+    def run_interleaved(
+        self,
+        feeds: Sequence[Feed],
+        groups: int = 2,
+        max_steps: Optional[int] = None,
+    ) -> List[Dict]:
+        """Round-robin two (or more) episode groups so host work (feed
+        rendering, tokenization) overlaps device compute — the throughput
+        role of the reference's per-env worker processes (env_utils.py:
+        119-126) without fork()ing simulators.
+
+        Dispatches group g's device step, then prepares group g+1's inputs
+        while g computes; results land in feed order.
+        """
+        import threading
+
+        groups = max(1, min(groups, len(feeds)))
+        parts = [list(range(len(feeds)))[g::groups] for g in range(groups)]
+        results: List[Optional[Dict]] = [None] * len(feeds)
+
+        def worker(idxs):
+            out = self.run([feeds[i] for i in idxs], max_steps)
+            for j, i in enumerate(idxs):
+                results[i] = out[j]
+
+        threads = [threading.Thread(target=worker, args=(p,)) for p in parts]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        return results  # type: ignore[return-value]

@@ -120,3 +120,23 @@ def test_heatmap_nms_matches_reference():
     got = np.asarray(heatmap_nms(jnp.asarray(pred), 5, (7.0, 5.0)))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
     assert (got > 0).sum() <= 5 * 2
+
+
+def test_depth_plane_segments_splits_on_discontinuity():
+    from dynam3d_tpu.models.segmenter import depth_plane_segments, zero_segments
+
+    # left half at 2m, right half at 6m: two components
+    d = np.full((8, 8), 2.0, np.float32)
+    d[:, 4:] = 6.0
+    ids = np.asarray(
+        depth_plane_segments(jnp.asarray(d.reshape(-1)), 8, 8, 8)
+    ).reshape(8, 8)
+    assert len(np.unique(ids)) == 2
+    assert (ids[:, :4] == ids[0, 0]).all()
+    assert (ids[:, 4:] == ids[0, 7]).all()
+    # smooth ramp within threshold: one component
+    ramp = np.linspace(2.0, 2.5, 64).reshape(8, 8).astype(np.float32)
+    ids2 = np.asarray(depth_plane_segments(jnp.asarray(ramp.reshape(-1)), 8, 8, 8))
+    assert len(np.unique(ids2)) == 1
+    # fallback
+    np.testing.assert_array_equal(np.asarray(zero_segments(4)), [0, 0, 0, 0])

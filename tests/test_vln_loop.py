@@ -107,3 +107,19 @@ def test_poll_checkpoint_folder(tmp_path):
     got = list(poll_checkpoint_folder(str(tmp_path), seen, poll_s=0.01, timeout_s=0.1))
     assert len(got) == 2
     assert got[0].endswith("iter1")
+
+
+def test_run_interleaved_matches_run(setup):
+    from dynam3d_tpu.runtime.episode import EpisodeRunner
+
+    cfg, params = setup
+    runner = EpisodeRunner(params, cfg)
+    feeds_a = [_feed(i) for i in range(3)]
+    feeds_b = [_feed(i) for i in range(3)]
+    r1 = runner.run(feeds_a, max_steps=2)
+    r2 = runner.run_interleaved(feeds_b, groups=2, max_steps=2)
+    assert len(r2) == 3 and all(r is not None for r in r2)
+    # deterministic policy on identical feeds: same step counts/distances
+    for a, b in zip(r1, r2):
+        assert a["steps"] == b["steps"]
+        np.testing.assert_allclose(a["distance_to_goal"], b["distance_to_goal"], atol=1e-5)
