@@ -287,9 +287,12 @@ def inference(
     out_path: Optional[str] = None,
     rank: int = 0,
     world: int = 1,
+    fmt: str = "r2r",
 ) -> Dict[str, list]:
     """Leaderboard inference (ss_trainer_Dynam3D.py:433-554): dedup'd paths
-    capped at 500 poses, R2R-style json output."""
+    capped at 500 poses; ``fmt="r2r"`` writes one json dict, ``fmt="rxr"``
+    writes jsonl rows ``{"instruction_id": ..., "path": [[x,y,z],...]}``
+    (the reference's RxR branch, ":539-554")."""
     from dynam3d_tpu.runtime.episode import EpisodeRunner
 
     idxs = metrics_mod.shard_episodes(range(len(feeds)), rank, world)
@@ -303,8 +306,16 @@ def inference(
             pos, hds, cfg.eval.max_infer_positions
         )
     if out_path:
-        with open(out_path, "w") as f:
-            json.dump(paths, f)
+        if fmt == "rxr":
+            with open(out_path, "w") as f:
+                for ep_id, path in paths.items():
+                    f.write(json.dumps({
+                        "instruction_id": ep_id,
+                        "path": [p["position"] for p in path],
+                    }) + "\n")
+        else:
+            with open(out_path, "w") as f:
+                json.dump(paths, f)
     return paths
 
 
