@@ -106,3 +106,17 @@ def test_topdown_map_and_video(tmp_path):
     out = generate_video([frame, frame], str(tmp_path / "vid"), fps=2)
     data = np.load(out)
     assert data["frames"].shape[0] == 2
+
+
+def test_cli_parser_and_config_overrides():
+    from dynam3d_tpu.run import build_parser
+    from dynam3d_tpu.config import Dynam3DConfig, apply_opts
+
+    p = build_parser()
+    args = p.parse_args(
+        ["--run-type", "eval", "--exp_name", "x", "train.lr=5e-7", "mesh.dp=4"]
+    )
+    assert args.run_type == "eval"
+    cfg = apply_opts(Dynam3DConfig(), [o for o in args.opts if "=" in o])
+    assert cfg.train.lr == 5e-7
+    assert cfg.mesh.dp == 4 and cfg.mesh.num_devices == 4
