@@ -284,3 +284,42 @@ def single_distance_ray_grid(
     rel_z = rel_y * _tan_grid_z(height, width, 90.0)[:, None]
     rel_position = np.stack([rel_x, rel_y, rel_z], axis=-1)
     return rel_position, rel_direction, rel_y
+
+
+def unproject_depth_intrinsics(
+    depth: jnp.ndarray,        # [H,W] metric depth (z-forward camera frame)
+    intrinsics: jnp.ndarray,   # [3,3] pinhole K
+    rot: jnp.ndarray,          # [3,3] camera-to-world rotation
+    trans: jnp.ndarray,        # [3] camera-to-world translation
+) -> jnp.ndarray:
+    """Generic-intrinsics unprojection for posed-frame datasets.
+
+    The reference routes this through open3d + a CPU thread pool
+    (``project_depth_to_3d``, feature_fields.py:50-60) then applies
+    ``(R @ p + T)`` (":540-542"); here it is one fused jnp expression.
+
+    Returns world points ``[H*W, 3]``.
+    """
+    H, W = depth.shape
+    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
+    cx, cy = intrinsics[0, 2], intrinsics[1, 2]
+    u = jnp.arange(W, dtype=jnp.float32)[None, :]
+    v = jnp.arange(H, dtype=jnp.float32)[:, None]
+    z = depth.astype(jnp.float32)
+    x = (u - cx) / fx * z
+    y = (v - cy) / fy * z
+    cam = jnp.stack([x, y, z], axis=-1).reshape(-1, 3)
+    return cam @ rot.T + trans[None, :]
+
+
+def camera_heading_from_rotation(rot: jnp.ndarray, trans: jnp.ndarray):
+    """Camera ground-plane heading from an extrinsic rotation.
+
+    Mirrors the reference's trick of pushing [0,0,1] through (R,T) and
+    taking ``get_heading_angle`` of the displacement
+    (src_3dff feature_fields.py:505-514).
+    """
+    fwd = rot @ jnp.asarray([0.0, 0.0, 1.0]) + trans
+    origin = rot @ jnp.zeros(3) + trans
+    d = (fwd - origin)[None, :]
+    return heading_from_positions(d)[0], origin
