@@ -55,11 +55,14 @@ class EpisodeRunner:
                 p, cfg, ids, tv, mm, mv, self.splice_start
             )
         )
-        # fused single-dispatch step (tokenize first, then one device call)
+        # fused single-dispatch step (tokenize first, then one device call);
+        # the memory tables are DONATED so XLA updates them in place rather
+        # than copying ~P_cap x D of state every step
         self._full_step = jax.jit(
             lambda p, st, rgb, d, pos, hd, ids, tv: policy_mod.full_step(
                 p, cfg, st, rgb, d, pos, hd, ids, tv, self.splice_start
-            )
+            ),
+            donate_argnums=(1,),
         )
 
     # ------------------------------------------------------------------
