@@ -3,19 +3,20 @@
 The torch_kdtree replacement's hot configuration is the renderer's ray query
 (72k sample points x 32k-capacity patch table, src_3dff
 feature_fields.py:540,584).  The jnp fallback (ops/knn.py:knn_tiled) pays an
-HBM round-trip per tile for the concat/top_k; this kernel keeps the whole
-candidate set in VMEM:
+HBM round-trip per tile for the concat/top_k; this kernel keeps the working
+set in VMEM.
 
-  - the POINT table fits VMEM outright (32k x 3 f32 = 384 KB), so each grid
-    program streams only its query tile;
-  - distances are computed chunk-by-chunk over points ([TQ, CHUNK] f32 tiles)
-    with the running top-k (k<=8) merged by iterative min-extraction — no
-    sort, no HBM spills;
-  - dead slots (validity mask) get +inf distance, reproducing the tombstone
-    semantics.
+Design (v2 — the v1 in-kernel chunk loop kept every chunk's buffers live and
+blew the 128 MB VMEM budget on hardware):
 
-Falls back to interpret mode off-TPU (tests) and to ops.knn.knn_tiled when
-shapes are tiny.
+  - 2D grid ``(q_tiles, p_chunks)``; TPU iterates the LAST grid dim
+    sequentially, so each query tile's running top-k lives in its OUTPUT
+    refs and accumulates across point chunks (out index_map ignores the
+    chunk index — the canonical revisiting-accumulator pattern);
+  - per step only one ``[TILE_Q, CHUNK]`` distance block is live (~1 MB);
+  - the top-k merge is k (<=8) unrolled masked min-extractions — no sorts,
+    no gathers (Mosaic supports neither well);
+  - dead slots get +inf distance, preserving tombstone semantics.
 """
 
 from __future__ import annotations
@@ -32,53 +33,42 @@ _BIG = 1e10
 
 
 def _kernel(q_ref, pts_ref, valid_ref, dist_ref, idx_ref, *, k: int, chunk: int):
-    TQ = q_ref.shape[0]
-    P = pts_ref.shape[0]
-    n_chunks = P // chunk
+    c = pl.program_id(1)
 
-    q = q_ref[:]                                   # [TQ,3]
-    q2 = jnp.sum(q * q, axis=-1, keepdims=True)    # [TQ,1]
+    @pl.when(c == 0)
+    def _init():
+        dist_ref[:] = jnp.full_like(dist_ref, _BIG)
+        idx_ref[:] = jnp.full_like(idx_ref, -1)
 
-    best_d = jnp.full((TQ, k), _BIG, jnp.float32)
-    best_i = jnp.full((TQ, k), -1, jnp.int32)
+    q = q_ref[:]                                       # [TQ,3]
+    pts = pts_ref[:]                                   # [CH,3]
+    val = valid_ref[:, 0]                              # [CH]
+    q2 = jnp.sum(q * q, axis=-1, keepdims=True)
+    p2 = jnp.sum(pts * pts, axis=-1)[None, :]
+    cross = jax.lax.dot_general(
+        q, pts,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    d = jnp.maximum(q2 + p2 - 2.0 * cross, 0.0)        # [TQ,CH]
+    d = jnp.where(val[None, :] != 0, d, _BIG)
+    ids = c * chunk + jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
 
-    def chunk_body(c, carry):
-        best_d, best_i = carry
-        pts = pts_ref[pl.ds(c * chunk, chunk), :]          # [CH,3]
-        val = valid_ref[pl.ds(c * chunk, chunk), 0]        # [CH]
-        p2 = jnp.sum(pts * pts, axis=-1)[None, :]          # [1,CH]
-        cross = jax.lax.dot_general(
-            q, pts,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                  # [TQ,CH]
-        d = jnp.maximum(q2 + p2 - 2.0 * cross, 0.0)
-        d = jnp.where(val[None, :] != 0, d, _BIG)
-        ids = c * chunk + jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    cat_d = jnp.concatenate([dist_ref[:], d], axis=1)  # [TQ,k+CH]
+    cat_i = jnp.concatenate([idx_ref[:], ids], axis=1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, cat_d.shape, 1)
 
-        cat_d = jnp.concatenate([best_d, d], axis=1)       # [TQ,k+CH]
-        cat_i = jnp.concatenate([best_i, ids], axis=1)
-
-        # k is tiny (<=8): unroll the min-extractions; Mosaic supports
-        # neither value-dynamic_update_slice nor fancy gathers, so the
-        # winner is selected by masked reduction and knocked out by where.
-        nb_d_cols, nb_i_cols = [], []
-        iota = jax.lax.broadcasted_iota(jnp.int32, cat_d.shape, 1)
-        for _ in range(k):
-            m = jnp.min(cat_d, axis=1)                      # [TQ]
-            am = jnp.argmin(cat_d, axis=1)                  # [TQ]
-            hit = iota == am[:, None]
-            sel = jnp.max(jnp.where(hit, cat_i, -1), axis=1)
-            nb_d_cols.append(m)
-            nb_i_cols.append(sel)
-            cat_d = jnp.where(hit, _BIG, cat_d)
-        best_d = jnp.stack(nb_d_cols, axis=1)
-        best_i = jnp.stack(nb_i_cols, axis=1)
-        return best_d, best_i
-
-    best_d, best_i = jax.lax.fori_loop(0, n_chunks, chunk_body, (best_d, best_i))
-    dist_ref[:] = best_d
-    idx_ref[:] = best_i
+    nb_d, nb_i = [], []
+    for _ in range(k):
+        m = jnp.min(cat_d, axis=1)
+        am = jnp.argmin(cat_d, axis=1)
+        hit = iota == am[:, None]
+        sel = jnp.max(jnp.where(hit, cat_i, -1), axis=1)
+        nb_d.append(m)
+        nb_i.append(sel)
+        cat_d = jnp.where(hit, _BIG, cat_d)
+    dist_ref[:] = jnp.stack(nb_d, axis=1)
+    idx_ref[:] = jnp.stack(nb_i, axis=1)
 
 
 @functools.partial(
@@ -102,25 +92,34 @@ def pallas_knn(
     q = jnp.pad(queries.astype(jnp.float32), ((0, qpad), (0, 0)))
     pts = jnp.pad(points.astype(jnp.float32), ((0, ppad), (0, 0)))
     val = jnp.pad(valid.astype(jnp.int32), (0, ppad))[:, None]
+    n_chunks = pts.shape[0] // chunk
 
-    grid = (q.shape[0] // tile_q,)
+    grid = (q.shape[0] // tile_q, n_chunks)
     dists, idx = pl.pallas_call(
         functools.partial(_kernel, k=k, chunk=chunk),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile_q, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((pts.shape[0], 3), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((val.shape[0], 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, 3), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 3), lambda i, c: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda i, c: (c, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile_q, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_q, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, k), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_q, k), lambda i, c: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((q.shape[0], k), jnp.float32),
             jax.ShapeDtypeStruct((q.shape[0], k), jnp.int32),
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q.shape[0] * pts.shape[0] * 3,
+            bytes_accessed=(q.shape[0] * 3 + pts.shape[0] * 4) * 4,
+            transcendentals=0,
+        ),
     )(q, pts, val)
     return dists[:Q], idx[:Q]
 
