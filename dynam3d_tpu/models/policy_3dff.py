@@ -116,7 +116,7 @@ def perceive_panorama(
         -jnp.pi / 6.0
     )
 
-    def per_element(st, df, d24b, gridb, segmb, clsb, pw, hv, gxyz, glab, gval):
+    def per_element(st, df, d24b, gridb, segmb, pw, hv, gxyz, glab, gval):
         def del_view(s, xs):
             dmap, h = xs
             return delete_from_frustum(s, f, dmap, pw, h), None
@@ -139,7 +139,7 @@ def perceive_panorama(
         gt_label = jnp.zeros((B, G), jnp.int32)
         gt_valid = jnp.zeros((B, G), bool)
     state, aux = jax.vmap(per_element)(
-        state, dfull, d24, grid, segm, cls_fts, pos_world, headings_v,
+        state, dfull, d24, grid, segm, pos_world, headings_v,
         gt_xyz, gt_label, gt_valid,
     )
     return PanoramaPerception(

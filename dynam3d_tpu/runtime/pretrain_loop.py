@@ -99,7 +99,6 @@ class PretrainRunner:
         self.cfg = cfg
         self.params = params
         self.opt = trainer_3dff.make_pretrain_optimizer(cfg)
-        self.opt_state = self.opt.init(params)
         self._step = jax.jit(trainer_3dff.make_pretrain_step(cfg, self.opt))
         self._encode = jax.jit(self._encode_views)
         self.seed = seed
