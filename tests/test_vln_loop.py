@@ -123,3 +123,31 @@ def test_run_interleaved_matches_run(setup):
     for a, b in zip(r1, r2):
         assert a["steps"] == b["steps"]
         np.testing.assert_allclose(a["distance_to_goal"], b["distance_to_goal"], atol=1e-5)
+
+
+def test_waypoint_predictor_candidates_wiring(setup):
+    import dataclasses
+    import jax as _jax
+    from dynam3d_tpu.config import DepthEncoderConfig
+    from dynam3d_tpu.models.encoders.depth_resnet import init_depth_params
+    from dynam3d_tpu.models.waypoint.trm import init_waypoint_params
+    from dynam3d_tpu.runtime.vln_loop import VLNTrainer
+
+    cfg, params = setup
+    cfg = dataclasses.replace(cfg, depth=DepthEncoderConfig(input_size=64))
+    wp = init_waypoint_params(_jax.random.PRNGKey(1), cfg.waypoint, depth_feat_dim=128)
+    de = init_depth_params(_jax.random.PRNGKey(2), cfg.depth)
+    trainer = VLNTrainer(
+        params, cfg, lambda: _feed(0),
+        waypoint_params=wp, depth_enc_params=de,
+    )
+    feed12 = SyntheticRoomFeed(rgb_size=56, depth_size=64, views=12, seed=0)
+    obs = feed12.reset()
+    ca, cd = trainer._candidates(feed12, obs)
+    assert 1 <= len(ca) <= cfg.waypoint.max_candidates
+    assert all(0 <= a <= 2 * np.pi for a in ca)
+    assert all(0.25 <= d <= 3.0 for d in cd)
+    # 1-view obs falls back to the geometric fan
+    obs1 = _feed(0).reset()
+    ca2, _ = trainer._candidates(_feed(0), obs1)
+    assert len(ca2) == 36
