@@ -54,19 +54,32 @@ def _kernel(q_ref, pts_ref, valid_ref, dist_ref, idx_ref, *, k: int, chunk: int)
     d = jnp.where(val[None, :] != 0, d, _BIG)
     ids = c * chunk + jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
 
-    cat_d = jnp.concatenate([dist_ref[:], d], axis=1)  # [TQ,k+CH]
-    cat_i = jnp.concatenate([idx_ref[:], ids], axis=1)
-    iota = jax.lax.broadcasted_iota(jnp.int32, cat_d.shape, 1)
+    # chunk-local top-k over the lane-ALIGNED [TQ,CH] block (unaligned
+    # concat widths caused catastrophic register spills on hardware)
+    iota = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    ch_d, ch_i = [], []
+    for _ in range(k):
+        m = jnp.min(d, axis=1)
+        am = jnp.argmin(d, axis=1)
+        hit = iota == am[:, None]
+        sel = jnp.max(jnp.where(hit, ids, -1), axis=1)
+        ch_d.append(m)
+        ch_i.append(sel)
+        d = jnp.where(hit, _BIG, d)
 
+    # merge with the running best in a tiny [TQ, 2k] workspace
+    md = jnp.concatenate([dist_ref[:], jnp.stack(ch_d, axis=1)], axis=1)
+    mi = jnp.concatenate([idx_ref[:], jnp.stack(ch_i, axis=1)], axis=1)
+    miota = jax.lax.broadcasted_iota(jnp.int32, md.shape, 1)
     nb_d, nb_i = [], []
     for _ in range(k):
-        m = jnp.min(cat_d, axis=1)
-        am = jnp.argmin(cat_d, axis=1)
-        hit = iota == am[:, None]
-        sel = jnp.max(jnp.where(hit, cat_i, -1), axis=1)
+        m = jnp.min(md, axis=1)
+        am = jnp.argmin(md, axis=1)
+        hit = miota == am[:, None]
+        sel = jnp.max(jnp.where(hit, mi, -1), axis=1)
         nb_d.append(m)
         nb_i.append(sel)
-        cat_d = jnp.where(hit, _BIG, cat_d)
+        md = jnp.where(hit, _BIG, md)
     dist_ref[:] = jnp.stack(nb_d, axis=1)
     idx_ref[:] = jnp.stack(nb_i, axis=1)
 
