@@ -37,6 +37,8 @@ class FieldState(NamedTuple):
     patch_scale: jnp.ndarray    # [P]   f32 metric patch footprint
     patch_owner: jnp.ndarray    # [P]   i32 owning instance id (-1 = none)
     patch_valid: jnp.ndarray    # [P]   bool
+    patch_step: jnp.ndarray     # [P]   i32 write-age stamp (eviction priority;
+                                #       the reference grows unboundedly instead)
 
     # --- instance layer [I] ---
     inst_pos: jnp.ndarray       # [I,3] f32
@@ -66,6 +68,7 @@ def init_state(cfg: FieldsConfig, fts_dtype=jnp.bfloat16) -> FieldState:
         patch_scale=jnp.zeros((P,), jnp.float32),
         patch_owner=jnp.full((P,), -1, jnp.int32),
         patch_valid=jnp.zeros((P,), bool),
+        patch_step=jnp.zeros((P,), jnp.int32),
         inst_pos=jnp.full((I, 3), TOMBSTONE, jnp.float32),
         inst_fts=jnp.zeros((I, D), jnp.float32),
         inst_valid=jnp.zeros((I,), bool),

@@ -140,13 +140,28 @@ def update_view(
     )
     ppos = jnp.stack([rel_x, rel_y, rel_z], -1) + position[None, :]  # [HW,3]
 
-    # ---- 2. write patches into reused free slots ----
-    slots = first_free_slots(state.patch_valid, HW)  # [HW]
+    # ---- 2. write patches into reused free slots (evict-oldest on overflow) ----
+    # free slots first in ascending id (the reference's allocator order);
+    # if the table is full, the OLDEST patches are evicted — a bounded-memory
+    # policy the unbounded reference lacks (SURVEY §7.4 hard part 1)
+    stamp = jnp.max(state.patch_step) + 1
+    P_cap = cfg.patch_capacity
+    alloc_key = jnp.where(
+        state.patch_valid, (state.patch_step + 1) * P_cap, 0
+    ) + jnp.arange(P_cap, dtype=jnp.int32)
+    _, slots = jax.lax.top_k(-alloc_key, HW)
+    slots = jnp.sort(slots)  # ascending slot ids, as the reference hands out
+    # evicted slots lose their instance membership
+    evicted = state.patch_valid[slots]
+    patch_owner0 = state.patch_owner.at[
+        jnp.where(evicted, slots, P_cap)
+    ].set(-1, mode="drop")
     patch_pos = state.patch_pos.at[slots].set(ppos)
     patch_fts = state.patch_fts.at[slots].set(grid_fts.astype(state.patch_fts.dtype))
     patch_dir = state.patch_dir.at[slots].set(pdir)
     patch_scale = state.patch_scale.at[slots].set(pscale)
     patch_valid = state.patch_valid.at[slots].set(True)
+    patch_step = state.patch_step.at[slots].set(stamp)
 
     # ---- 3. per-segment aggregation (block-diagonal attention) ----
     centers, counts = segment_mean(ppos, segm, S)          # [S,3], [S]
@@ -201,7 +216,7 @@ def update_view(
         inst_gt_id = inst_gt_id.at[new_write].set(seg_gt_id, mode="drop")
 
     # patch ownership for this view's slots
-    patch_owner = state.patch_owner.at[slots].set(owner[segm])
+    patch_owner = patch_owner0.at[slots].set(owner[segm])
 
     # ---- 6. re-aggregate merged instances with FINAL membership ----
     merged_mask = (
@@ -305,6 +320,7 @@ def update_view(
         patch_scale=patch_scale,
         patch_owner=patch_owner,
         patch_valid=patch_valid,
+        patch_step=patch_step,
         inst_pos=inst_pos,
         inst_fts=inst_fts,
         inst_valid=inst_valid,
@@ -432,6 +448,7 @@ def delete_from_frustum(
         patch_scale=patch_scale,
         patch_owner=patch_owner,
         patch_valid=patch_valid,
+        patch_step=state.patch_step,
         inst_pos=inst_pos,
         inst_fts=inst_fts,
         inst_valid=inst_valid,

@@ -191,3 +191,28 @@ def test_zone_keys_unique_and_cells_correct():
     cells = np.asarray(cell_center(state.inst_pos, CFG))[np.asarray(state.inst_valid)]
     for c in cells:
         assert any(np.allclose(c, k) for k in zk)
+
+
+def test_patch_overflow_evicts_oldest():
+    """When the patch table is full, the oldest patches are evicted instead
+    of colliding (bounded lifelong memory; the reference grows unboundedly)."""
+    import dataclasses
+
+    small = dataclasses.replace(CFG, patch_capacity=40)  # capacity 40 < 3*16
+    params = _params(force_merge=False)
+    state = init_state(small)
+    depth, grid, segm = _view()
+    pos = jnp.zeros(3)
+    for t in range(3):
+        state, aux = update_view(
+            params, state, small, depth, grid, segm,
+            pos + jnp.asarray([0.5 * t, 0.0, 0.0]), jnp.asarray(0.0),
+        )
+    # table stays exactly full, all slots unique per view
+    assert int(state.patch_valid.sum()) == 40
+    # newest stamp present on the last view's slots
+    assert int(state.patch_step.max()) == 3
+    # 8 step-1 patches were evicted (the only step with losses = the oldest)
+    steps = np.asarray(state.patch_step)[np.asarray(state.patch_valid)]
+    counts = {s: int((steps == s).sum()) for s in np.unique(steps)}
+    assert counts == {1: 8, 2: 16, 3: 16}
