@@ -78,8 +78,63 @@ def _config(scale: str):
     )
 
 
+def render_bench():
+    """DYNAM3D_BENCH_MODE=render: novel-view feature-field rendering fps at
+    full dims (the pretrain hot path; exercises the Pallas kNN + fused MLP).
+    Prints the same one-line JSON contract."""
+    import jax
+    import jax.numpy as jnp
+
+    from dynam3d_tpu.config import FieldsConfig
+    from dynam3d_tpu.models.memory3d import init_state
+    from dynam3d_tpu.models.render.nerf import init_render_params, render_view
+
+    steps = int(os.environ.get("DYNAM3D_BENCH_STEPS", "8"))
+    cfg = FieldsConfig()
+    params = init_render_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    n = 20000
+    state = init_state(cfg)
+    state = state._replace(
+        patch_pos=state.patch_pos.at[:n].set(
+            jnp.asarray(rng.uniform(-5, 5, (n, 3)).astype(np.float32))
+        ),
+        patch_fts=state.patch_fts.at[:n].set(
+            jnp.asarray(rng.normal(size=(n, cfg.fts_dim)).astype(np.float32))
+        ),
+        patch_valid=state.patch_valid.at[:n].set(True),
+    )
+    fn = jax.jit(lambda st, p, h: render_view(params, cfg, st, p, h))
+    t0 = time.time()
+    out = fn(state, jnp.zeros(3), jnp.asarray(0.0))
+    _sync(out.features)
+    compile_s = time.time() - t0
+    lat = []
+    for k in range(steps):
+        t0 = time.time()
+        out = fn(state, jnp.zeros(3), jnp.asarray(0.1 * k))
+        _sync(out.features)
+        lat.append(time.time() - t0)
+    p50 = float(np.percentile(lat, 50) * 1000)
+    print(json.dumps({
+        "metric": "render_view_p50_ms",
+        "value": round(p50, 2),
+        "unit": "ms",
+        "vs_baseline": 1.0,
+        "extra": {
+            "views_per_sec": round(1000.0 / p50, 2),
+            "compile_s": round(compile_s, 1),
+            "pallas": not bool(os.environ.get("DYNAM3D_DISABLE_PALLAS")),
+            "backend": jax.default_backend(),
+        },
+    }))
+
+
 def main():
     import jax
+
+    if os.environ.get("DYNAM3D_BENCH_MODE") == "render":
+        return render_bench()
 
     # persistent compile cache: the tunnel makes cold compiles ~10min at full
     # scale; warm runs start in seconds.
