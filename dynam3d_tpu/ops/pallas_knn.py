@@ -140,9 +140,13 @@ def pallas_knn(
 def knn_auto(
     queries: jnp.ndarray, points: jnp.ndarray, valid: jnp.ndarray, k: int
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Backend dispatch: Pallas on TPU, tiled-jnp elsewhere.
+    """Backend dispatch for the big ray-query k-NN.
 
-    ``DYNAM3D_DISABLE_PALLAS=1`` forces the jnp path (escape hatch)."""
+    Default is the XLA tiled-scan path (ops/knn.py): on current Mosaic the
+    unrolled top-k extraction in the Pallas kernel triggers ~256 MB of
+    register-allocator spills at the 72k x 32k renderer shape (3 hardware
+    attempts, see git history), so the kernel is opt-in via
+    ``DYNAM3D_ENABLE_PALLAS_KNN=1`` until the lowering improves."""
     import os
 
     import jax as _jax
@@ -150,7 +154,7 @@ def knn_auto(
     if (
         _jax.default_backend() == "tpu"
         and points.shape[0] >= 1024
-        and not os.environ.get("DYNAM3D_DISABLE_PALLAS")
+        and os.environ.get("DYNAM3D_ENABLE_PALLAS_KNN")
     ):
         return pallas_knn(queries, points, valid, k)
     from dynam3d_tpu.ops.knn import knn_tiled
