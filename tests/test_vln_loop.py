@@ -151,3 +151,24 @@ def test_waypoint_predictor_candidates_wiring(setup):
     obs1 = _feed(0).reset()
     ca2, _ = trainer._candidates(_feed(0), obs1)
     assert len(ca2) == 36
+
+
+def test_training_reduces_loss(setup):
+    """End-to-end learning: repeated teacher-forced updates on the same
+    episode must drive the action-token CE down (whole-stack gradient
+    check: projectors + LLM through the fused perceive/loss program)."""
+    import dataclasses
+
+    cfg, params = setup
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, lr=3e-3)
+    )
+    trainer = VLNTrainer(params, cfg, lambda: _feed(5))
+    losses = []
+    for _ in range(6):
+        out = trainer.train_episode(feed=_feed(5), max_steps=2)
+        losses.append(out["loss"])
+    assert np.isfinite(losses).all()
+    # monotone decrease through Adafactor's slow-start scaling
+    assert losses[-1] < losses[0] - 0.3, losses
+    assert all(b < a for a, b in zip(losses, losses[1:])), losses
