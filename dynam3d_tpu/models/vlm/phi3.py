@@ -199,10 +199,29 @@ def greedy_decode(
     )
     valid0 = valid0.at[:, T].set(True)
 
-    # positions for decode derive from per-row valid counts; write first token
-    carry = (cache, next_tok, done0, out0, valid0)
-    carry = jax.lax.fori_loop(0, max_new_tokens, body, carry)
-    return carry[3]
+    # early-exit while loop: once every row has emitted the stop token,
+    # remaining iterations are skipped — most actions ("stop.", short turns)
+    # need far fewer than max_new_tokens passes over the weights
+    def cond(carry):
+        i, _, tok, done, _, _ = carry
+        return (i < max_new_tokens) & ~jnp.all(done | (tok == stop))
+
+    def wbody(carry):
+        i, cache, tok, done, out, valid = carry
+        cache, tok, done, out, valid = body(i, (cache, tok, done, out, valid))
+        return i + 1, cache, tok, done, out, valid
+
+    carry = (0, cache, next_tok, done0, out0, valid0)
+    carry = jax.lax.while_loop(cond, wbody, carry)
+    # write the final pending token if the loop exited with room left
+    i, _, tok, done, out, _ = carry
+    out = jnp.where(
+        (i < max_new_tokens)[..., None]
+        & (jax.lax.broadcasted_iota(jnp.int32, out.shape, 1) == i),
+        tok[:, None].astype(jnp.int32),
+        out,
+    )
+    return out
 
 
 def _dense_init(key, d_in, d_out, std=0.02):
