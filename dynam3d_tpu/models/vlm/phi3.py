@@ -72,7 +72,7 @@ def _layer(
     B, T, D = x.shape
     H, hd = cfg.num_heads, cfg.head_dim
     h = rms_norm(p["input_ln"], x, cfg.rms_eps)
-    qkv = jnp.dot(h, p["qkv"], preferred_element_type=jnp.float32).astype(x.dtype)
+    qkv = _mm(p["qkv"], h)
     q_sz = H * hd
     kv_sz = cfg.num_kv_heads * hd
     q = qkv[..., :q_sz].reshape(B, T, H, hd)
@@ -93,13 +93,13 @@ def _layer(
     attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
     o = jnp.einsum("bhqk,bkhd->bqhd", attn, vv, preferred_element_type=jnp.float32)
     o = o.reshape(B, T, H * hd).astype(x.dtype)
-    x = x + jnp.dot(o, p["o"], preferred_element_type=jnp.float32).astype(x.dtype)
+    x = x + _mm(p["o"], o)
 
     h = rms_norm(p["post_ln"], x, cfg.rms_eps)
-    gate_up = jnp.dot(h, p["gate_up"], preferred_element_type=jnp.float32).astype(x.dtype)
+    gate_up = _mm(p["gate_up"], h)
     gate, up = jnp.split(gate_up, 2, axis=-1)
     h = jax.nn.silu(gate) * up
-    x = x + jnp.dot(h, p["down"], preferred_element_type=jnp.float32).astype(x.dtype)
+    x = x + _mm(p["down"], h)
     return x, kv_k, kv_v
 
 
@@ -130,7 +130,13 @@ def forward(
         ks.append(k_l)
         vs.append(v_l)
     x = rms_norm(params["final_ln"], x, cfg.rms_eps)
-    logits = jnp.dot(x, params["lm_head"], preferred_element_type=jnp.float32)
+    if isinstance(params["lm_head"], dict) and "q" in params["lm_head"]:
+        logits = jnp.dot(
+            x, params["lm_head"]["q"].astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ) * params["lm_head"]["s"]
+    else:
+        logits = jnp.dot(x, params["lm_head"], preferred_element_type=jnp.float32)
     return logits, KVCache(jnp.stack(ks), jnp.stack(vs))
 
 
@@ -251,3 +257,54 @@ def init_phi3_params(key: jax.Array, cfg: Phi3Config, dtype=jnp.bfloat16) -> Par
         "final_ln": jnp.ones((D,), jnp.float32),
         "lm_head": _dense_init(keys[-1], D, cfg.vocab_size).astype(dtype),
     }
+
+
+# ---------------------------------------------------------------------------
+# Weight-only int8 quantization (decode is HBM-bound on weight reads; int8
+# halves the bytes/token vs bf16).  Per-output-channel symmetric scales; the
+# dequantize folds into the matmul under XLA.
+# ---------------------------------------------------------------------------
+def quantize_phi3(params: Params) -> Params:
+    """bf16/f32 Phi-3 params -> int8 weights + f32 per-column scales.
+
+    Norm weights and embeddings stay un-quantized (embeddings are gathered,
+    not streamed; norms are tiny).
+    """
+
+    def q(w):
+        wf = w.astype(jnp.float32)
+        scale = jnp.max(jnp.abs(wf), axis=0, keepdims=True) / 127.0
+        scale = jnp.maximum(scale, 1e-8)
+        return {
+            "q": jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8),
+            "s": scale.astype(jnp.float32),
+        }
+
+    layers = []
+    for lp in params["layers"]:
+        layers.append(
+            {
+                "input_ln": lp["input_ln"],
+                "qkv": q(lp["qkv"]),
+                "o": q(lp["o"]),
+                "post_ln": lp["post_ln"],
+                "gate_up": q(lp["gate_up"]),
+                "down": q(lp["down"]),
+            }
+        )
+    return {
+        "embed_tokens": params["embed_tokens"],
+        "layers": layers,
+        "final_ln": params["final_ln"],
+        "lm_head": q(params["lm_head"]),
+    }
+
+
+def _mm(w, x: jnp.ndarray) -> jnp.ndarray:
+    """Matmul against either a dense weight or an int8 {q, s} pack."""
+    if isinstance(w, dict) and "q" in w:
+        y = jnp.dot(
+            x, w["q"].astype(x.dtype), preferred_element_type=jnp.float32
+        )
+        return (y * w["s"]).astype(x.dtype)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
