@@ -156,6 +156,10 @@ def main():
     cfg = _config(scale)
 
     params = policy_mod.init_policy_params(jax.random.PRNGKey(0), cfg)
+    if os.environ.get("DYNAM3D_INT8_DECODE"):
+        from dynam3d_tpu.models.vlm.phi3 import quantize_phi3
+
+        params["llava"]["phi3"] = quantize_phi3(params["llava"]["phi3"])
     runner = EpisodeRunner(params, cfg)
     rgb_size = cfg.clip.image_size
     depth_size = 256 if scale == "full" else 32
