@@ -54,32 +54,34 @@ def _kernel(q_ref, pts_ref, valid_ref, dist_ref, idx_ref, *, k: int, chunk: int)
     d = jnp.where(val[None, :] != 0, d, _BIG)
     ids = c * chunk + jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
 
-    # chunk-local top-k over the lane-ALIGNED [TQ,CH] block (unaligned
-    # concat widths caused catastrophic register spills on hardware)
-    iota = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    # chunk-local top-k via min + VALUE-equality select (v4: argmin's Mosaic
+    # lowering caused register-spill blowups; duplicates resolve to the
+    # smallest id, keeping extraction deterministic)
+    big_id = jnp.int32(1 << 30)
     ch_d, ch_i = [], []
     for _ in range(k):
-        m = jnp.min(d, axis=1)
-        am = jnp.argmin(d, axis=1)
-        hit = iota == am[:, None]
-        sel = jnp.max(jnp.where(hit, ids, -1), axis=1)
+        m = jnp.min(d, axis=1)                           # [TQ]
+        hit = d == m[:, None]
+        sel = jnp.min(jnp.where(hit, ids, big_id), axis=1)
         ch_d.append(m)
         ch_i.append(sel)
-        d = jnp.where(hit, _BIG, d)
+        d = jnp.where(ids == sel[:, None], _BIG, d)
 
     # merge with the running best in a tiny [TQ, 2k] workspace
     md = jnp.concatenate([dist_ref[:], jnp.stack(ch_d, axis=1)], axis=1)
     mi = jnp.concatenate([idx_ref[:], jnp.stack(ch_i, axis=1)], axis=1)
-    miota = jax.lax.broadcasted_iota(jnp.int32, md.shape, 1)
+    mpos = jax.lax.broadcasted_iota(jnp.int32, md.shape, 1)
     nb_d, nb_i = [], []
     for _ in range(k):
         m = jnp.min(md, axis=1)
-        am = jnp.argmin(md, axis=1)
-        hit = miota == am[:, None]
-        sel = jnp.max(jnp.where(hit, mi, -1), axis=1)
+        hit = md == m[:, None]
+        # tie-break by workspace position (stable)
+        pos = jnp.min(jnp.where(hit, mpos, big_id), axis=1)
+        take = mpos == pos[:, None]
+        sel = jnp.max(jnp.where(take, mi, -(1 << 30)), axis=1)
         nb_d.append(m)
         nb_i.append(sel)
-        md = jnp.where(hit, _BIG, md)
+        md = jnp.where(take, _BIG, md)
     dist_ref[:] = jnp.stack(nb_d, axis=1)
     idx_ref[:] = jnp.stack(nb_i, axis=1)
 

@@ -120,3 +120,19 @@ def test_cli_parser_and_config_overrides():
     cfg = apply_opts(Dynam3DConfig(), [o for o in args.opts if "=" in o])
     assert cfg.train.lr == 5e-7
     assert cfg.mesh.dp == 4 and cfg.mesh.num_devices == 4
+
+
+def test_shortest_path_follower_reaches_goal():
+    from dynam3d_tpu.utils.follower import ShortestPathFollower
+    from dynam3d_tpu.runtime.feed import STOP, SyntheticRoomFeed
+
+    feed = SyntheticRoomFeed(rgb_size=32, depth_size=16)
+    feed.reset()
+    follower = ShortestPathFollower()
+    for _ in range(30):
+        act = follower.next_action(feed)
+        if act == STOP:
+            break
+        feed.step(act)
+    assert feed.oracle_distance() < 1.5
+    assert follower.discrete_action(feed) == 0
