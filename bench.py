@@ -156,7 +156,10 @@ def main():
     cfg = _config(scale)
 
     params = policy_mod.init_policy_params(jax.random.PRNGKey(0), cfg)
-    if os.environ.get("DYNAM3D_INT8_DECODE"):
+    # int8 weight-only decode is the default serving configuration (greedy
+    # tokens match bf16; docs/BENCH_NOTES.md); disable with =0
+    int8 = os.environ.get("DYNAM3D_INT8_DECODE", "1") not in ("0", "false")
+    if int8:
         from dynam3d_tpu.models.vlm.phi3 import quantize_phi3
 
         params["llava"]["phi3"] = quantize_phi3(params["llava"]["phi3"])
@@ -237,6 +240,7 @@ def main():
                     "backend": jax.default_backend(),
                     "steps": steps,
                     "batch": B,
+                    "int8_decode": int8,
                 },
             }
         )
