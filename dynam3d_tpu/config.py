@@ -186,6 +186,14 @@ class TrainConfig:
     seed: int = 0
     ckpt_dir: str = "data/checkpoints"
     is_requeue: bool = False        # resume from newest ckpt by mtime
+    ml_weight: float = 1.0          # IL loss weight (ss_trainer_Dynam3D.py:287)
+    waypoint_aug: bool = True       # pretrain waypoint sampling augmentation
+                                    # (IL.waypoint_aug, ss_trainer_3DFF.py:845)
+    sample_ratio: float = 1.0       # teacher-vs-sampled waypoint ratio
+                                    # (IL.sample_ratio; commented in the VLN
+                                    # trainer, active in pretrain dispatch)
+    max_text_len: int = 2000        # instruction char cap (iter_train.yaml:42)
+    recycle_every: int = 20         # env rebuild cadence (":577-587")
 
 
 @dataclass(frozen=True)

@@ -56,7 +56,7 @@ class VLNTrainer:
         cfg: Dynam3DConfig,
         feed_factory: Callable[[], Feed],
         tokenizer=None,
-        recycle_every: int = 20,
+        recycle_every: Optional[int] = None,
         rank: int = 0,
         world: int = 1,
         waypoint_params=None,
@@ -65,7 +65,7 @@ class VLNTrainer:
         self.cfg = cfg
         self.feed_factory = feed_factory
         self.tok = tokenizer or ByteTokenizer(cfg.llava.phi3.vocab_size)
-        self.recycle_every = recycle_every
+        self.recycle_every = recycle_every or cfg.train.recycle_every
         self.rank = rank
         self.world = world
         self.n_mm = (
@@ -113,6 +113,7 @@ class VLNTrainer:
 
     # ------------------------------------------------------------------
     def _tokenize_full(self, instruction: str, history: List[str], gt: str):
+        instruction = instruction[: self.cfg.train.max_text_len]
         ids = self.tok.encode(build_prompt(instruction, history, self.n_mm, gt))
         label_ids = self.tok.encode(gt, add_bos=False)
         T = _round_up(len(ids), self.cfg.llava.prefill_bucket)
@@ -182,6 +183,7 @@ class VLNTrainer:
             if done:
                 break
         mean_loss = float(np.mean(losses)) if losses else float("nan")
+        mean_loss *= self.cfg.train.ml_weight  # (ss_trainer_Dynam3D.py:287)
         self.logs["IL_loss"].append(mean_loss)
         return {"loss": mean_loss, "steps": len(losses)}
 
