@@ -84,6 +84,21 @@ def _layer(
     kv_k = jax.lax.dynamic_update_slice(kv_k, k, (0, write_at, 0, 0))
     kv_v = jax.lax.dynamic_update_slice(kv_v, v, (0, write_at, 0, 0))
 
+    x = _attn_mlp(p, cfg, x, q, kv_k, kv_v, attn_mask)
+    return x, kv_k, kv_v
+
+
+def _attn_mlp(
+    p: Params,
+    cfg: Phi3Config,
+    x: jnp.ndarray,              # [B,T,D]
+    q: jnp.ndarray,              # [B,T,H,hd] rope'd queries
+    kv_k: jnp.ndarray,           # [B,Tc,Hkv,hd] updated layer cache
+    kv_v: jnp.ndarray,
+    attn_mask: jnp.ndarray,      # [B,T,Tc]
+) -> jnp.ndarray:
+    B, T, D = x.shape
+    H, hd = cfg.num_heads, cfg.head_dim
     group = H // cfg.num_kv_heads
     kk = jnp.repeat(kv_k, group, axis=2) if group > 1 else kv_k
     vv = jnp.repeat(kv_v, group, axis=2) if group > 1 else kv_v
@@ -100,7 +115,28 @@ def _layer(
     gate, up = jnp.split(gate_up, 2, axis=-1)
     h = jax.nn.silu(gate) * up
     x = x + _mm(p["down"], h)
-    return x, kv_k, kv_v
+    return x
+
+
+def _qkv(
+    p: Params, cfg: Phi3Config, x: jnp.ndarray, positions: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Pre-attention projections + RoPE; split out so decode can write k/v
+    into the STACKED cache before attention (in-place friendly)."""
+    B, T, _ = x.shape
+    H, hd = cfg.num_heads, cfg.head_dim
+    h = rms_norm(p["input_ln"], x, cfg.rms_eps)
+    qkv = _mm(p["qkv"], h)
+    q_sz = H * hd
+    kv_sz = cfg.num_kv_heads * hd
+    q = qkv[..., :q_sz].reshape(B, T, H, hd)
+    k = qkv[..., q_sz : q_sz + kv_sz].reshape(B, T, cfg.num_kv_heads, hd)
+    v = qkv[..., q_sz + kv_sz :].reshape(B, T, cfg.num_kv_heads, hd)
+    return (
+        _rope(q, positions, cfg.rope_theta),
+        _rope(k, positions, cfg.rope_theta),
+        v,
+    )
 
 
 def forward(
@@ -130,14 +166,46 @@ def forward(
         ks.append(k_l)
         vs.append(v_l)
     x = rms_norm(params["final_ln"], x, cfg.rms_eps)
+    return _lm_head(params, x), KVCache(jnp.stack(ks), jnp.stack(vs))
+
+
+def _lm_head(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     if isinstance(params["lm_head"], dict) and "q" in params["lm_head"]:
-        logits = jnp.dot(
+        return jnp.dot(
             x, params["lm_head"]["q"].astype(x.dtype),
             preferred_element_type=jnp.float32,
         ) * params["lm_head"]["s"]
-    else:
-        logits = jnp.dot(x, params["lm_head"], preferred_element_type=jnp.float32)
-    return logits, KVCache(jnp.stack(ks), jnp.stack(vs))
+    return jnp.dot(x, params["lm_head"], preferred_element_type=jnp.float32)
+
+
+def decode_forward(
+    params: Params,
+    cfg: Phi3Config,
+    embeds: jnp.ndarray,          # [B,T,D] (T=1 in the decode loop)
+    positions: jnp.ndarray,       # [B,T]
+    cache: KVCache,
+    write_at,
+    attn_mask: jnp.ndarray,       # [B,T,Tc]
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Decode-loop twin of :func:`forward` over the STACKED cache.
+
+    k/v are written straight into the ``[L,B,Tc,H,hd]`` arrays with per-layer
+    ``dynamic_update_slice`` — the loop-carried-buffer pattern XLA lowers to
+    an in-place update.  The layer-list/stack form in :func:`forward` keeps a
+    copy of every layer slice alive, which costs a full cache copy per decode
+    step (~1.2 GB at Phi-3-mini dims with a 1.5k-token prompt); this form
+    keeps the per-token HBM traffic at weights + one cache read.
+    """
+    x = embeds
+    ck, cv = cache.k, cache.v
+    for li in range(cfg.num_layers):
+        p = params["layers"][li]
+        q, k, v = _qkv(p, cfg, x, positions)
+        ck = jax.lax.dynamic_update_slice(ck, k[None], (li, 0, write_at, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v[None], (li, 0, write_at, 0, 0))
+        x = _attn_mlp(p, cfg, x, q, ck[li], cv[li], attn_mask)
+    x = rms_norm(params["final_ln"], x, cfg.rms_eps)
+    return _lm_head(params, x), KVCache(ck, cv)
 
 
 def embed(params: Params, ids: jnp.ndarray) -> jnp.ndarray:
@@ -191,7 +259,7 @@ def greedy_decode(
         e = embed(params, tok)[:, None, :].astype(embeds.dtype)
         pos = (jnp.sum(valid, axis=1) - 1)[:, None]
         m = valid[:, None, :]
-        logits, cache = forward(params, cfg, e, pos, cache, T + i, m)
+        logits, cache = decode_forward(params, cfg, e, pos, cache, T + i, m)
         nxt = jnp.argmax(logits[:, 0], axis=-1)
         done = done | (tok == stop)
         nxt = jnp.where(done, stop, nxt)
