@@ -41,13 +41,54 @@ def _leaky(x):
     return jax.nn.leaky_relu(x, 0.01)
 
 
+def _nerf_mlp_chain(x, e1, e2, eo_w, d1, d2, do_w):
+    """Reference jnp chain over raw weights (also the Pallas kernel's VJP)."""
+    h = x.astype(jnp.bfloat16)
+    for w in (e1, e2):
+        h = _leaky(jnp.dot(h, w, preferred_element_type=jnp.float32).astype(jnp.bfloat16))
+    eo = _leaky(jnp.dot(h, eo_w, preferred_element_type=jnp.float32))
+    enc, density = eo[..., :-1], eo[..., -1]
+    h = (enc + x.astype(jnp.float32)).astype(jnp.bfloat16)  # residual (":487")
+    for w in (d1, d2):
+        h = _leaky(jnp.dot(h, w, preferred_element_type=jnp.float32).astype(jnp.bfloat16))
+    out = jnp.dot(h, do_w, preferred_element_type=jnp.float32)
+    return out.astype(jnp.bfloat16), density.astype(jnp.bfloat16)
+
+
+@jax.custom_vjp
+def _pallas_nerf_mlp(x, e1, e2, eo_w, d1, d2, do_w):
+    from dynam3d_tpu.ops.pallas_mlp import fused_nerf_mlp
+
+    return fused_nerf_mlp(x, e1, e2, eo_w, d1, d2, do_w)
+
+
+def _pallas_nerf_mlp_fwd(x, e1, e2, eo_w, d1, d2, do_w):
+    return _pallas_nerf_mlp(x, e1, e2, eo_w, d1, d2, do_w), (
+        x, e1, e2, eo_w, d1, d2, do_w,
+    )
+
+
+def _pallas_nerf_mlp_bwd(res, g):
+    # Pallas kernels carry no autodiff rule; the gradient is the VJP of the
+    # numerically-equivalent jnp chain (bf16 matmuls either way).  The jnp
+    # forward re-runs here — training pays one extra fused-MLP pass, decode/
+    # render inference pays nothing.
+    _, vjp = jax.vjp(_nerf_mlp_chain, *res)
+    return vjp(g)
+
+
+_pallas_nerf_mlp.defvjp(_pallas_nerf_mlp_fwd, _pallas_nerf_mlp_bwd)
+
+
 def nerf_mlp(p: Params, x: jnp.ndarray, cfg: FieldsConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused encoder(+density) -> residual -> decoder.
 
     Matches patch_to_nerf_encode (":477-491"): encoder = 2 hidden LeakyReLU
     layers -> width+1 with LeakyReLU output; decoder = 2 hidden layers, linear
     out.  Runs in bf16 like the fp16 tinycudann CutlassMLP.  On TPU the whole
-    chain dispatches to the fused Pallas kernel (ops/pallas_mlp.py).
+    chain dispatches to the fused Pallas kernel (ops/pallas_mlp.py) with a
+    custom VJP through the jnp chain (training differentiates this path:
+    losses_3dff backprops through render_view).
     """
     import os
 
@@ -57,22 +98,14 @@ def nerf_mlp(p: Params, x: jnp.ndarray, cfg: FieldsConfig) -> Tuple[jnp.ndarray,
         and len(p["dec_hidden"]) == 2
         and not os.environ.get("DYNAM3D_DISABLE_PALLAS")
     ):
-        from dynam3d_tpu.ops.pallas_mlp import fused_nerf_mlp
-
-        return fused_nerf_mlp(
+        return _pallas_nerf_mlp(
             x, p["enc_hidden"][0], p["enc_hidden"][1], p["enc_out"],
             p["dec_hidden"][0], p["dec_hidden"][1], p["dec_out"],
         )
-    h = x.astype(jnp.bfloat16)
-    for w in p["enc_hidden"]:
-        h = _leaky(jnp.dot(h, w, preferred_element_type=jnp.float32).astype(jnp.bfloat16))
-    eo = _leaky(jnp.dot(h, p["enc_out"], preferred_element_type=jnp.float32))
-    enc, density = eo[..., :-1], eo[..., -1]
-    h = (enc + x.astype(jnp.float32)).astype(jnp.bfloat16)  # residual (":487")
-    for w in p["dec_hidden"]:
-        h = _leaky(jnp.dot(h, w, preferred_element_type=jnp.float32).astype(jnp.bfloat16))
-    out = jnp.dot(h, p["dec_out"], preferred_element_type=jnp.float32)
-    return out.astype(jnp.bfloat16), density.astype(jnp.bfloat16)
+    return _nerf_mlp_chain(
+        x, p["enc_hidden"][0], p["enc_hidden"][1], p["enc_out"],
+        p["dec_hidden"][0], p["dec_hidden"][1], p["dec_out"],
+    )
 
 
 def raw2feature(
