@@ -1,6 +1,10 @@
 from dynam3d_tpu.geom.projection import (
     unproject_depth_habitat,
+    unproject_depth_intrinsics,
     patch_3d_info,
+    patch_geometry_from_pose,
+    scale_intrinsics,
+    camera_heading_from_rotation,
     frustum_mask_habitat,
     frustum_mask_intrinsics,
     habitat_to_world,
@@ -11,7 +15,11 @@ from dynam3d_tpu.geom.projection import (
 
 __all__ = [
     "unproject_depth_habitat",
+    "unproject_depth_intrinsics",
     "patch_3d_info",
+    "patch_geometry_from_pose",
+    "scale_intrinsics",
+    "camera_heading_from_rotation",
     "frustum_mask_habitat",
     "frustum_mask_intrinsics",
     "habitat_to_world",

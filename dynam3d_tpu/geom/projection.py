@@ -312,6 +312,57 @@ def unproject_depth_intrinsics(
     return cam @ rot.T + trans[None, :]
 
 
+def scale_intrinsics(
+    intrinsics: jnp.ndarray, from_hw: Tuple[int, int], to_hw: Tuple[int, int]
+) -> jnp.ndarray:
+    """Rescale a pinhole K between image resolutions.
+
+    The reference unprojects at the sensor resolution and nearest-pools the
+    3D points to the patch grid (project_depth_to_3d,
+    src_3dff feature_fields.py:81-94); unprojecting the nearest-resized depth
+    with a resolution-scaled K is the fused equivalent (subpixel-center
+    difference only).
+    """
+    sy = to_hw[0] / from_hw[0]
+    sx = to_hw[1] / from_hw[1]
+    k = jnp.asarray(intrinsics, jnp.float32)
+    scale = jnp.asarray(
+        [[sx, 1.0, sx], [1.0, sy, sy], [1.0, 1.0, 1.0]], jnp.float32
+    )
+    return k.at[:3, :3].set(k[:3, :3] * scale)
+
+
+def patch_geometry_from_pose(
+    depth: jnp.ndarray,        # [H*W] metric depth (z-forward camera frame)
+    intrinsics: jnp.ndarray,   # [3,3] or [4,4] pinhole K
+    rot: jnp.ndarray,          # [3,3] camera-to-world rotation
+    trans: jnp.ndarray,        # [3] camera-to-world translation
+    height: int,
+    width: int,
+    hfov_deg: float = 90.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full-pose patch geometry for posed-frame datasets.
+
+    Reproduces the reference's generic-intrinsics branch
+    (src_3dff feature_fields.py:905-916): camera-frame unprojection via K,
+    world points ``R @ p + T``, per-patch scale
+    ``z * |tan(last sampled-ray angle)| * 2 / W``, and per-patch direction =
+    ground-plane heading of the WORLD point (the reference computes
+    ``get_heading_angle`` AFTER the world transform, so the translation is
+    part of the angle — preserved as-is).
+
+    Returns ``(ppos [H*W,3], pdir [H*W], pscale [H*W])`` ready for
+    ``memory3d.update_view(geometry=...)``.
+    """
+    ppos = unproject_depth_intrinsics(
+        depth.reshape(height, width), intrinsics, rot, trans
+    )
+    tan_last = float(abs(_tan_grid_x(height, width, hfov_deg)[-1]))
+    pscale = depth.reshape(-1).astype(jnp.float32) * (tan_last * 2.0 / width)
+    pdir = heading_from_positions(ppos)
+    return ppos, pdir, pscale
+
+
 def camera_heading_from_rotation(rot: jnp.ndarray, trans: jnp.ndarray):
     """Camera ground-plane heading from an extrinsic rotation.
 

@@ -83,19 +83,23 @@ def update_view_pretrain(
     gt_label: Optional[jnp.ndarray] = None,
     gt_valid: Optional[jnp.ndarray] = None,
     max_gt_label: int = 512,
+    geometry=None,
 ) -> Tuple[FieldState, PretrainAux]:
     f = cfg
     S = f.max_segments
     D = f.fts_dim
     heads = _num_heads(D)
 
-    from dynam3d_tpu.geom.projection import unproject_depth_habitat
+    if geometry is None:
+        from dynam3d_tpu.geom.projection import unproject_depth_habitat
 
-    rel_x, rel_y, rel_z, _, _ = unproject_depth_habitat(
-        depth, heading, height=f.input_height, width=f.input_width,
-        hfov_deg=f.input_hfov, vfov_deg=f.input_vfov,
-    )
-    ppos = jnp.stack([rel_x, rel_y, rel_z], -1) + position[None, :]
+        rel_x, rel_y, rel_z, _, _ = unproject_depth_habitat(
+            depth, heading, height=f.input_height, width=f.input_width,
+            hfov_deg=f.input_hfov, vfov_deg=f.input_vfov,
+        )
+        ppos = jnp.stack([rel_x, rel_y, rel_z], -1) + position[None, :]
+    else:
+        ppos = geometry[0]
 
     if gt_xyz is not None:
         seg_gt = segment_gt_ids(
@@ -107,7 +111,7 @@ def update_view_pretrain(
     pre_state = state
     new_state, aux = update_view(
         params, state, cfg, depth, grid_fts, segm, position, heading,
-        seg_gt_id=seg_gt,
+        seg_gt_id=seg_gt, geometry=geometry,
     )
 
     # instance semantic-alignment targets (":968-973")

@@ -108,6 +108,7 @@ def update_view(
     position: jnp.ndarray,
     heading: jnp.ndarray,
     seg_gt_id: Optional[jnp.ndarray] = None,
+    geometry: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None,
 ) -> Tuple[FieldState, ViewAux]:
     """Fold one posed RGB-D view into the 3D memory.
 
@@ -120,6 +121,11 @@ def update_view(
       seg_gt_id: optional ``[S]`` gt instance ids per segment (pretrain
         supervision; recorded on new-instance creation, src_3dff
         feature_fields.py:1092-1097).
+      geometry: optional precomputed ``(ppos [HW,3], pdir [HW], pscale [HW])``
+        — the full-pose (K, R, T) patch geometry of posed-frame datasets
+        (geom.patch_geometry_from_pose, reference generic-intrinsics branch
+        feature_fields.py:905-916).  When absent, the habitat-mode
+        position+heading unprojection is used.
     """
     H, W, D = cfg.input_height, cfg.input_width, cfg.fts_dim
     HW = H * W
@@ -134,11 +140,14 @@ def update_view(
     )
 
     # ---- 1. unproject this view's patches into world space ----
-    rel_x, rel_y, rel_z, pdir, pscale = unproject_depth_habitat(
-        depth, heading, height=H, width=W,
-        hfov_deg=cfg.input_hfov, vfov_deg=cfg.input_vfov,
-    )
-    ppos = jnp.stack([rel_x, rel_y, rel_z], -1) + position[None, :]  # [HW,3]
+    if geometry is None:
+        rel_x, rel_y, rel_z, pdir, pscale = unproject_depth_habitat(
+            depth, heading, height=H, width=W,
+            hfov_deg=cfg.input_hfov, vfov_deg=cfg.input_vfov,
+        )
+        ppos = jnp.stack([rel_x, rel_y, rel_z], -1) + position[None, :]  # [HW,3]
+    else:
+        ppos, pdir, pscale = geometry
 
     # ---- 2. write patches into reused free slots (evict-oldest on overflow) ----
     # free slots first in ascending id (the reference's allocator order);

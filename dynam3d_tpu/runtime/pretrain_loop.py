@@ -32,7 +32,12 @@ from dynam3d_tpu.models.memory3d import init_state
 from dynam3d_tpu.models.policy import nearest_resize_hw
 from dynam3d_tpu.models.encoders.depth_resnet import preprocess_depth
 from dynam3d_tpu.models.segmenter import depth_plane_segments
-from dynam3d_tpu.geom.projection import habitat_to_world
+from dynam3d_tpu.geom.projection import (
+    habitat_to_world,
+    patch_geometry_from_pose,
+    scale_intrinsics,
+    unproject_depth_habitat,
+)
 from dynam3d_tpu.runtime import checkpoint as ckpt_mod
 from dynam3d_tpu.runtime import trainer_3dff
 from dynam3d_tpu.runtime.logging import MetricsLogger
@@ -130,6 +135,31 @@ class PretrainRunner:
         cls, grid = self._encode(clip_params, jnp.asarray(scene["rgb"]))
         d24 = nearest_resize_hw(jnp.asarray(scene["depth"]), H, W)
         d24 = preprocess_depth(d24[..., None], (0.0, 10.0))[..., 0].reshape(V, H * W)
+
+        # per-patch world geometry: full-pose for posed-frame datasets
+        # (reference generic-intrinsics branch, feature_fields.py:905-916),
+        # habitat-mode unprojection otherwise
+        world_pos = habitat_to_world(jnp.asarray(scene["position"]))
+        headings = jnp.asarray(scene["heading"])
+        if "intrinsics" in scene:
+            d_hw = scene["depth"].shape[1:3]
+            ks = jax.vmap(
+                lambda k: scale_intrinsics(k, d_hw, (H, W))
+            )(jnp.asarray(scene["intrinsics"]))
+            ppos, pdir, pscale = jax.vmap(
+                lambda d, k, r, t: patch_geometry_from_pose(
+                    d, k, r, t, H, W, f.input_hfov
+                )
+            )(d24, ks, jnp.asarray(scene["rot"]), jnp.asarray(scene["trans"]))
+        else:
+            def _geo(d, pos, hd):
+                rx, ry, rz, pd_, ps_ = unproject_depth_habitat(
+                    d, hd, height=H, width=W,
+                    hfov_deg=f.input_hfov, vfov_deg=f.input_vfov,
+                )
+                return jnp.stack([rx, ry, rz], -1) + pos[None, :], pd_, ps_
+
+            ppos, pdir, pscale = jax.vmap(_geo)(d24, world_pos, headings)
         segm = jax.vmap(
             lambda dv: depth_plane_segments(dv, H, W, f.max_segments)
         )(d24)
@@ -165,8 +195,8 @@ class PretrainRunner:
             grid_fts=grid,
             cls_fts=cls,
             segm=segm,
-            position=habitat_to_world(jnp.asarray(scene["position"])),
-            heading=jnp.asarray(scene["heading"]),
+            position=world_pos,
+            heading=headings,
             gt_xyz=jnp.asarray(scene["gt_xyz"]),
             gt_label=jnp.asarray(scene["gt_label"]),
             gt_valid=jnp.ones((scene["gt_xyz"].shape[0],), bool),
@@ -178,6 +208,9 @@ class PretrainRunner:
             gtid_text_fts=jnp.asarray(gtid_text_fts),
             gtid_text_valid=jnp.ones((L,), bool),
             use_labels=jnp.asarray(bool(scene.get("use_labels", True))),
+            ppos=ppos,
+            pdir=pdir,
+            pscale=pscale,
         )
 
     # ------------------------------------------------------------------

@@ -66,6 +66,13 @@ class PretrainBatch(NamedTuple):
     gtid_text_fts: jnp.ndarray   # [L,D] gt-instance-id -> caption text feature
     gtid_text_valid: jnp.ndarray  # [L]
     use_labels: jnp.ndarray      # scalar bool — False for arkit/structured3d
+    # per-patch world geometry, precomputed host-side per view: habitat-mode
+    # unprojection for simulator feeds, full-pose (K,R,T) geometry for
+    # posed-frame datasets (geom.patch_geometry_from_pose; reference generic-
+    # intrinsics branch, feature_fields.py:905-916)
+    ppos: jnp.ndarray            # [V,HW,3] world patch positions
+    pdir: jnp.ndarray            # [V,HW] patch directions
+    pscale: jnp.ndarray          # [V,HW] patch scales
 
 
 def pretrain_step_loss(
@@ -81,16 +88,18 @@ def pretrain_step_loss(
 
     # ---- fold views, collecting pretrain aux ----
     def step(st, xs):
-        d, g, sg, pos, hd = xs
+        d, g, sg, pos, hd, pp, pd, ps = xs
         st, aux = update_view_pretrain(
             params["fields"], st, f, d, g, sg, pos, hd,
             batch.gt_xyz, batch.gt_label, batch.gt_valid, max_gt_label,
+            geometry=(pp, pd, ps),
         )
         return st, aux
 
     state, aux = jax.lax.scan(
         step, state,
-        (batch.depth, batch.grid_fts, batch.segm, batch.position, batch.heading),
+        (batch.depth, batch.grid_fts, batch.segm, batch.position, batch.heading,
+         batch.ppos, batch.pdir, batch.pscale),
     )  # aux leaves have leading [V]
 
     act = aux.base.seg_active.reshape(-1)                      # [V*S]

@@ -132,3 +132,46 @@ def test_ray_grid_shapes_and_monotonic_depth():
     assert np.all(np.diff(rdist, axis=-1) > 0)
     np.testing.assert_allclose(rdist[:, 0], 0.0)
     np.testing.assert_allclose(rdist[:, -1], 10.0)
+
+
+def test_scale_intrinsics():
+    from dynam3d_tpu.geom.projection import scale_intrinsics
+
+    k = jnp.asarray([[500.0, 0, 320.0], [0, 400.0, 240.0], [0, 0, 1.0]])
+    k2 = scale_intrinsics(k, (480, 640), (24, 24))
+    np.testing.assert_allclose(
+        np.asarray(k2),
+        [[500 * 24 / 640, 0, 320 * 24 / 640],
+         [0, 400 * 24 / 480, 240 * 24 / 480],
+         [0, 0, 1.0]],
+        rtol=1e-6,
+    )
+
+
+def test_patch_geometry_from_pose_known_point():
+    from dynam3d_tpu.geom.projection import (
+        patch_geometry_from_pose,
+        _tan_grid_x,
+    )
+
+    H = W = 4
+    fx = fy = 2.0
+    cx = cy = 1.5  # principal point at the grid center
+    k = jnp.asarray([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+    depth = jnp.full((H * W,), 2.0, jnp.float32)
+    rot = jnp.eye(3)
+    trans = jnp.asarray([10.0, 0.0, 0.0])
+    ppos, pdir, pscale = patch_geometry_from_pose(depth, k, rot, trans, H, W)
+    # pixel (0,0): x=(0-1.5)/2*2=-1.5, y=-1.5, z=2 then +T
+    np.testing.assert_allclose(np.asarray(ppos[0]), [8.5, -1.5, 2.0], atol=1e-5)
+    # scale = z * |tan(last ray)| * 2 / W (reference :909)
+    tan_last = abs(float(_tan_grid_x(H, W, 90.0)[-1]))
+    np.testing.assert_allclose(
+        np.asarray(pscale), 2.0 * tan_last * 2.0 / W, rtol=1e-5
+    )
+    # direction = heading of the WORLD point (translation included)
+    from dynam3d_tpu.geom.projection import heading_from_positions
+
+    np.testing.assert_allclose(
+        np.asarray(pdir), np.asarray(heading_from_positions(ppos)), atol=1e-6
+    )

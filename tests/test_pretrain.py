@@ -95,13 +95,27 @@ def batch_and_params():
     }
     V, G, Nv, C, L = 2, 64, 2, 16, 32
     R = FCFG.view_height * FCFG.view_width
+    depth = jnp.asarray(rng.uniform(0.5, 5, (V, HW)).astype(np.float32))
+    position = jnp.asarray(np.tile(np.float32([0, 0, 1.25]), (V, 1)))
+    heading = jnp.asarray(np.float32([0.0, 0.5]))
+
+    from dynam3d_tpu.geom.projection import unproject_depth_habitat
+
+    def _geo(d, pos, hd):
+        rx, ry, rz, pd_, ps_ = unproject_depth_habitat(
+            d, hd, height=FCFG.input_height, width=FCFG.input_width,
+            hfov_deg=FCFG.input_hfov, vfov_deg=FCFG.input_vfov,
+        )
+        return jnp.stack([rx, ry, rz], -1) + pos[None, :], pd_, ps_
+
+    ppos, pdir, pscale = jax.vmap(_geo)(depth, position, heading)
     batch = trainer_3dff.PretrainBatch(
-        depth=jnp.asarray(rng.uniform(0.5, 5, (V, HW)).astype(np.float32)),
+        depth=depth,
         grid_fts=jnp.asarray(rng.normal(size=(V, HW, 32)).astype(np.float32)),
         cls_fts=jnp.asarray(rng.normal(size=(V, 32)).astype(np.float32)),
         segm=jnp.asarray(np.tile(np.repeat(np.arange(4), 4), (V, 1)).astype(np.int32)),
-        position=jnp.asarray(np.tile(np.float32([0, 0, 1.25]), (V, 1))),
-        heading=jnp.asarray(np.float32([0.0, 0.5])),
+        position=position,
+        heading=heading,
         gt_xyz=jnp.asarray(rng.uniform(-4, 4, (G, 3)).astype(np.float32)),
         gt_label=jnp.asarray(rng.integers(1, L, G).astype(np.int32)),
         gt_valid=jnp.ones((G,), bool),
@@ -113,6 +127,9 @@ def batch_and_params():
         gtid_text_fts=jnp.asarray(rng.normal(size=(L, 32)).astype(np.float32)),
         gtid_text_valid=jnp.asarray(rng.uniform(size=L) > 0.3),
         use_labels=jnp.asarray(True),
+        ppos=ppos,
+        pdir=pdir,
+        pscale=pscale,
     )
     return params, batch
 
