@@ -67,8 +67,8 @@ def _config(scale: str):
                 projector_hidden=64, prefill_bucket=64, max_new_tokens=8,
             ),
         )
-    # full dims; LLM depth via env (32 = full Phi-3-mini)
-    n_layers = int(os.environ.get("DYNAM3D_BENCH_LLM_LAYERS", "8"))
+    # full dims; LLM depth via env — default is the FULL 32-layer Phi-3-mini
+    n_layers = int(os.environ.get("DYNAM3D_BENCH_LLM_LAYERS", "32"))
     return Dynam3DConfig(
         fields=FieldsConfig(
             patch_capacity=32768, instance_capacity=2048, zone_capacity=1024,
