@@ -588,6 +588,57 @@ class Structured3DScenes(_PosedFrameScenes):
         return rgb, depth, k, rot.T, trans
 
 
+class HM3DSemanticIndex:
+    """HM3D/MP3D semantic point-cloud index for the simulator walk driver.
+
+    Mirrors the reference's preload (``ss_trainer_3DFF.py:75-94``): HM3D
+    annotated scenes live at
+    ``<hm3d_root>/<dirname>/<scene>.semantic.pth`` where ``scene`` is
+    ``dirname[6:17]``; MP3D at ``<mp3d_root>/<scene>/<scene>_semantic.pth``.
+    Blob layout (``:783-788``): xyz at index 0, instance_id -> object-type
+    dict at index 1, instance label at index -1.  Scene ids from habitat
+    episode paths are normalized the same way (``:775-778``: mp3d strips the
+    extension, hm3d strips ``.basis.glb``).
+    """
+
+    def __init__(self, hm3d_root: Optional[str] = None,
+                 mp3d_root: Optional[str] = None):
+        self.paths: Dict[str, List[str]] = {}
+        if hm3d_root and os.path.isdir(hm3d_root):
+            for d in sorted(os.listdir(hm3d_root)):
+                scene = d[6:17]
+                p = os.path.join(hm3d_root, d, scene + ".semantic.pth")
+                self.paths.setdefault(scene, []).append(p)
+        if mp3d_root and os.path.isdir(mp3d_root):
+            for d in sorted(os.listdir(mp3d_root)):
+                p = os.path.join(mp3d_root, d, d + "_semantic.pth")
+                if os.path.exists(p):
+                    self.paths.setdefault(d, []).append(p)
+
+    @staticmethod
+    def normalize_scene_id(scene_path: str) -> str:
+        name = scene_path.split("/")[-1]
+        if scene_path.endswith(".basis.glb") or "hm3d" in scene_path:
+            return name[:-10]
+        return name[:-4]
+
+    def __contains__(self, scene_id: str) -> bool:
+        return scene_id in self.paths
+
+    def load(self, scene_id: str):
+        """-> (xyz [G,3], label [G], instance_id -> object-type dict)."""
+        import torch
+
+        xyzs, labels, id_to_type = [], [], {}
+        for p in self.paths[scene_id]:
+            blob = torch.load(p, map_location="cpu", weights_only=False)
+            xyzs.append(np.asarray(blob[0], np.float32))
+            labels.append(np.asarray(blob[-1]).astype(np.int32).reshape(-1))
+            if isinstance(blob[1], dict):
+                id_to_type.update(blob[1])
+        return np.concatenate(xyzs, 0), np.concatenate(labels, 0), id_to_type
+
+
 # ---------------------------------------------------------------------------
 # language supervision assembly
 # ---------------------------------------------------------------------------

@@ -357,3 +357,31 @@ def test_frames_driver_integration(tmp_path):
     batch = runner.build_batch(scene, params["clip"])
     assert batch.depth.shape == (2, 16)
     assert np.isfinite(np.asarray(batch.novel_gt_fts)).all()
+
+
+def test_hm3d_semantic_index(tmp_path):
+    torch = pytest.importorskip("torch")
+    hm3d = tmp_path / "hm3d"
+    d = hm3d / "00001-abcdefghijk"
+    os.makedirs(d)
+    xyz = np.arange(9, dtype=np.float32).reshape(3, 3)
+    lab = np.array([4, 4, 2])
+    torch.save((xyz, {4: "chair", 2: "rug"}, None, lab),
+               d / "abcdefghijk.semantic.pth")
+    mp3d = tmp_path / "mp3d"
+    os.makedirs(mp3d / "sceneX")
+    torch.save((xyz + 1, {1: "sofa"}, None, lab),
+               mp3d / "sceneX" / "sceneX_semantic.pth")
+
+    idx = sd.HM3DSemanticIndex(str(hm3d), str(mp3d))
+    assert "abcdefghijk" in idx and "sceneX" in idx
+    got_xyz, got_lab, types = idx.load("abcdefghijk")
+    np.testing.assert_allclose(got_xyz, xyz)
+    assert types[4] == "chair"
+    # habitat scene-path normalization (ss_trainer_3DFF.py:775-778)
+    assert sd.HM3DSemanticIndex.normalize_scene_id(
+        "data/scene_datasets/hm3d/00001-abcdefghijk/abcdefghijk.basis.glb"
+    ) == "abcdefghijk"
+    assert sd.HM3DSemanticIndex.normalize_scene_id(
+        "data/scene_datasets/mp3d/sceneX/sceneX.glb"
+    ) == "sceneX"
