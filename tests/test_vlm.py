@@ -172,3 +172,36 @@ def test_teacher_targets_keep_waypoint():
     assert (a, d, stop) == (1.0, 2.0, False)
     a, d, stop = teacher_targets(EpisodeActionState(), [0.5], [1.5], STOP)
     assert stop
+
+
+def test_decode_forward_matches_forward():
+    """The stacked-cache decode pass is numerically identical to the
+    layer-list forward pass for a single appended token."""
+    import jax
+    from dynam3d_tpu.config import Phi3Config
+    from dynam3d_tpu.models.vlm import phi3
+
+    cfg = Phi3Config(
+        vocab_size=128, hidden_size=32, intermediate_size=64, num_layers=3,
+        num_heads=2, num_kv_heads=2, head_dim=16, pad_token_id=1,
+        end_token_id=2,
+    )
+    params = phi3.init_phi3_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    B, T, total = 2, 5, 8
+    rng = np.random.default_rng(0)
+    emb = jnp.asarray(rng.normal(size=(B, T, 32)).astype(np.float32))
+    valid = jnp.ones((B, T), bool)
+    cache = phi3.init_cache(cfg, B, total, dtype=jnp.float32)
+    mask = phi3.prefill_mask(valid, total)
+    logits_p, cache = phi3.forward(params, cfg, emb, jnp.tile(jnp.arange(T), (B, 1)), cache, 0, mask)
+
+    tok_emb = jnp.asarray(rng.normal(size=(B, 1, 32)).astype(np.float32))
+    pos = jnp.full((B, 1), T)
+    m = jnp.concatenate([valid, jnp.asarray([[True], [True]]),
+                         jnp.zeros((B, total - T - 1), bool)], 1)[:, None, :]
+    l_ref, c_ref = phi3.forward(params, cfg, tok_emb, pos, cache, T, m)
+    l_new, c_new = phi3.decode_forward(params, cfg, tok_emb, pos, cache, T, m)
+    np.testing.assert_allclose(np.asarray(l_new), np.asarray(l_ref), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(c_new.k), np.asarray(c_ref.k), atol=2e-5
+    )
