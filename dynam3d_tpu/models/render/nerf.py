@@ -41,15 +41,20 @@ def _leaky(x):
     return jax.nn.leaky_relu(x, 0.01)
 
 
-def _nerf_mlp_chain(x, e1, e2, eo_w, d1, d2, do_w):
-    """Reference jnp chain over raw weights (also the Pallas kernel's VJP)."""
+def _nerf_mlp_chain(x, enc_hidden, eo_w, dec_hidden, do_w):
+    """Reference jnp chain over raw weights (also the Pallas kernel's VJP).
+
+    ``enc_hidden``/``dec_hidden`` are lists of any depth — configs with
+    ``mlp_net_layers != 4`` take this path (the Pallas gate requires
+    exactly 2+2 hidden layers).
+    """
     h = x.astype(jnp.bfloat16)
-    for w in (e1, e2):
+    for w in enc_hidden:
         h = _leaky(jnp.dot(h, w, preferred_element_type=jnp.float32).astype(jnp.bfloat16))
     eo = _leaky(jnp.dot(h, eo_w, preferred_element_type=jnp.float32))
     enc, density = eo[..., :-1], eo[..., -1]
     h = (enc + x.astype(jnp.float32)).astype(jnp.bfloat16)  # residual (":487")
-    for w in (d1, d2):
+    for w in dec_hidden:
         h = _leaky(jnp.dot(h, w, preferred_element_type=jnp.float32).astype(jnp.bfloat16))
     out = jnp.dot(h, do_w, preferred_element_type=jnp.float32)
     return out.astype(jnp.bfloat16), density.astype(jnp.bfloat16)
@@ -73,7 +78,13 @@ def _pallas_nerf_mlp_bwd(res, g):
     # numerically-equivalent jnp chain (bf16 matmuls either way).  The jnp
     # forward re-runs here — training pays one extra fused-MLP pass, decode/
     # render inference pays nothing.
-    _, vjp = jax.vjp(_nerf_mlp_chain, *res)
+    x, e1, e2, eo_w, d1, d2, do_w = res
+    _, vjp = jax.vjp(
+        lambda x, e1, e2, eo_w, d1, d2, do_w: _nerf_mlp_chain(
+            x, [e1, e2], eo_w, [d1, d2], do_w
+        ),
+        x, e1, e2, eo_w, d1, d2, do_w,
+    )
     return vjp(g)
 
 
@@ -103,8 +114,7 @@ def nerf_mlp(p: Params, x: jnp.ndarray, cfg: FieldsConfig) -> Tuple[jnp.ndarray,
             p["dec_hidden"][0], p["dec_hidden"][1], p["dec_out"],
         )
     return _nerf_mlp_chain(
-        x, p["enc_hidden"][0], p["enc_hidden"][1], p["enc_out"],
-        p["dec_hidden"][0], p["dec_hidden"][1], p["dec_out"],
+        x, p["enc_hidden"], p["enc_out"], p["dec_hidden"], p["dec_out"]
     )
 
 

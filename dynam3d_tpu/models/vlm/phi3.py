@@ -69,17 +69,7 @@ def _layer(
     write_at: jnp.ndarray,       # scalar start index to write new kv
     attn_mask: jnp.ndarray,      # [B,T,Tc] True = attend
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    B, T, D = x.shape
-    H, hd = cfg.num_heads, cfg.head_dim
-    h = rms_norm(p["input_ln"], x, cfg.rms_eps)
-    qkv = _mm(p["qkv"], h)
-    q_sz = H * hd
-    kv_sz = cfg.num_kv_heads * hd
-    q = qkv[..., :q_sz].reshape(B, T, H, hd)
-    k = qkv[..., q_sz : q_sz + kv_sz].reshape(B, T, cfg.num_kv_heads, hd)
-    v = qkv[..., q_sz + kv_sz :].reshape(B, T, cfg.num_kv_heads, hd)
-    q = _rope(q, positions, cfg.rope_theta)
-    k = _rope(k, positions, cfg.rope_theta)
+    q, k, v = _qkv(p, cfg, x, positions)
 
     kv_k = jax.lax.dynamic_update_slice(kv_k, k, (0, write_at, 0, 0))
     kv_v = jax.lax.dynamic_update_slice(kv_v, v, (0, write_at, 0, 0))

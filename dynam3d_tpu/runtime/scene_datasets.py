@@ -356,17 +356,26 @@ class _PosedFrameScenes:
         scene_id = self.rng.choice(self.scene_ids)
         ids = self._frame_ids(scene_id)
         self.rng.shuffle(ids)
-        ids = _fill_to(ids, self.frames)
+        # over-draw: frames with invalid cameras (ScanNet writes -inf poses
+        # for tracking-lost frames; ARKit may miss a pincam) are skipped
+        candidates = _fill_to(ids, self.frames) + ids
 
         rgbs, depths, ks, rots, transs, exts, poss, hds = (
             [], [], [], [], [], [], [], [],
         )
-        for fid in ids:
-            rgb, depth, k, rot, trans = self._load_frame(scene_id, fid)
-            pos, hd = pose_from_extrinsic(rot, trans)
+        for fid in candidates:
+            if len(rgbs) == self.frames:
+                break
+            try:
+                rgb, depth, k, rot, trans = self._load_frame(scene_id, fid)
+            except (FileNotFoundError, KeyError):
+                continue
             ext = np.eye(4)
             ext[:3, :3] = rot
             ext[:3, 3] = trans
+            if not (np.isfinite(ext).all() and np.isfinite(np.asarray(k)).all()):
+                continue
+            pos, hd = pose_from_extrinsic(rot, trans)
             rgbs.append(rgb)
             depths.append(depth)
             ks.append(np.asarray(k, np.float32))
@@ -375,6 +384,13 @@ class _PosedFrameScenes:
             exts.append(np.linalg.inv(ext).astype(np.float32))
             poss.append(world_to_habitat(pos))
             hds.append(hd)
+        if not rgbs:
+            raise ValueError(f"no valid frames in scene {scene_id}")
+        n0 = len(rgbs)
+        while len(rgbs) < self.frames:  # repeat-fill like _fill_to (":1196")
+            i = len(rgbs) % n0
+            for lst in (rgbs, depths, ks, rots, transs, exts, poss, hds):
+                lst.append(lst[i])
 
         gt_xyz, gt_label = self._gt_pcd(scene_id)
         return dict(
@@ -428,7 +444,13 @@ class ScanNetScenes(_PosedFrameScenes):
 
     def _load_frame(self, scene_id, fid):
         base = os.path.join(self.root, scene_id)
-        k = scannet_depth_intrinsics(os.path.join(base, "intrinsic_depth.txt"))
+        if not hasattr(self, "_k_cache"):
+            self._k_cache = {}
+        if scene_id not in self._k_cache:  # scene-constant, parse once
+            self._k_cache[scene_id] = scannet_depth_intrinsics(
+                os.path.join(base, "intrinsic_depth.txt")
+            )
+        k = self._k_cache[scene_id]
         ext = load_matrix_txt(os.path.join(base, "pose", fid + ".txt"))
         rgb = _load_image(os.path.join(base, "color", fid + ".jpg"))
         depth = _load_depth_mm(os.path.join(base, "depth", fid + ".png"))
@@ -477,7 +499,13 @@ class RScanScenes(_PosedFrameScenes):
 
     def _load_frame(self, scene_id, fid):
         seq = os.path.join(self.root, scene_id, "sequence")
-        k = rscan_intrinsics_from_info(os.path.join(seq, "_info.txt"))
+        if not hasattr(self, "_k_cache"):
+            self._k_cache = {}
+        if scene_id not in self._k_cache:  # scene-constant, parse once
+            self._k_cache[scene_id] = rscan_intrinsics_from_info(
+                os.path.join(seq, "_info.txt")
+            )
+        k = self._k_cache[scene_id]
         ext = load_matrix_txt(os.path.join(seq, fid + ".pose.txt"))
         rgb = _load_image(os.path.join(seq, fid + ".color.jpg"))
         depth = _load_depth_mm(os.path.join(seq, fid + ".depth.pgm"))
@@ -495,13 +523,22 @@ class RScanScenes(_PosedFrameScenes):
 
 
 class ARKitScenes(_PosedFrameScenes):
-    """ARKitScenes 3dod low-res layout (``:1818-1860``); the traj file rows
-    pair positionally with the sampled frame order."""
+    """ARKitScenes 3dod low-res layout (``:1818-1860``).
+
+    Frame <-> pose pairing is by TIMESTAMP, not list position: filenames are
+    ``<video>_<timestamp>.png`` with variable-digit timestamps (lexicographic
+    order != chronological) and traj rows can be missing for dropped frames.
+    Each frame matches the nearest traj row / ``.pincam`` within 1 ms — the
+    official ARKitScenes toolkit's lookup rule; frames with no match within
+    tolerance are skipped.
+    """
 
     label_index = -1
+    _ts_tol = 1e-3
 
     def __init__(self, root: str, sceneverse_root: Optional[str] = None, **kw):
         self.sceneverse_root = sceneverse_root
+        self._scene_cache: Dict[str, Dict] = {}
         super().__init__(root, **kw)
 
     def _discover(self):
@@ -512,25 +549,48 @@ class ARKitScenes(_PosedFrameScenes):
                 out.append(d)
         return out
 
+    @staticmethod
+    def _name_ts(name: str) -> float:
+        return float(name.rsplit("_", 1)[1].rsplit(".", 1)[0])
+
+    def _scene_index(self, scene_id):
+        if scene_id in self._scene_cache:
+            return self._scene_cache[scene_id]
+        frames = os.path.join(self.root, scene_id, scene_id + "_frames")
+        with open(os.path.join(frames, "lowres_wide.traj")) as f:
+            rows = [line.strip() for line in f if line.strip()]
+        traj_ts = np.asarray([float(r.split()[0]) for r in rows])
+        pincams = [
+            f for f in os.listdir(os.path.join(frames, "lowres_wide_intrinsics"))
+            if f.endswith(".pincam")
+        ]
+        pin_ts = np.asarray([self._name_ts(f) for f in pincams])
+        idx = {"rows": rows, "traj_ts": traj_ts,
+               "pincams": pincams, "pin_ts": pin_ts}
+        self._scene_cache[scene_id] = idx
+        return idx
+
     def _frame_ids(self, scene_id):
         frames = os.path.join(self.root, scene_id, scene_id + "_frames")
         wide = os.path.join(frames, "lowres_wide")
-        names = sorted(f for f in os.listdir(wide) if f.endswith(".png"))
-        traj = os.path.join(frames, "lowres_wide.traj")
-        with open(traj) as f:
-            rows = [line.strip() for line in f if line.strip()]
-        # frame i pairs with traj row i, as in the reference's positional
-        # zip (``:1831-1841``); truncate to the shorter of the two
-        n = min(len(names), len(rows))
-        self._traj_rows = dict(zip(names[:n], rows[:n]))
-        return names[:n]
+        return sorted(f for f in os.listdir(wide) if f.endswith(".png"))
 
     def _load_frame(self, scene_id, fid):
         frames = os.path.join(self.root, scene_id, scene_id + "_frames")
+        idx = self._scene_index(scene_id)
+        if not len(idx["traj_ts"]) or not len(idx["pin_ts"]):
+            raise KeyError(f"scene {scene_id} has no traj rows or pincams")
+        ts = self._name_ts(fid)
+        ti = int(np.argmin(np.abs(idx["traj_ts"] - ts)))
+        if abs(idx["traj_ts"][ti] - ts) > self._ts_tol:
+            raise KeyError(f"no traj row within {self._ts_tol}s of {fid}")
+        pi = int(np.argmin(np.abs(idx["pin_ts"] - ts)))
+        if abs(idx["pin_ts"][pi] - ts) > self._ts_tol:
+            raise KeyError(f"no pincam within {self._ts_tol}s of {fid}")
         k = pincam_intrinsics(
-            os.path.join(frames, "lowres_wide_intrinsics", fid[:-4] + ".pincam")
+            os.path.join(frames, "lowres_wide_intrinsics", idx["pincams"][pi])
         )
-        ext = traj_line_to_extrinsic(self._traj_rows[fid])
+        ext = traj_line_to_extrinsic(idx["rows"][ti])
         rgb = _load_image(os.path.join(frames, "lowres_wide", fid))
         depth = _load_depth_mm(os.path.join(frames, "lowres_depth", fid))
         return rgb, depth, k, ext[:3, :3], ext[:3, 3]
@@ -608,7 +668,8 @@ class HM3DSemanticIndex:
             for d in sorted(os.listdir(hm3d_root)):
                 scene = d[6:17]
                 p = os.path.join(hm3d_root, d, scene + ".semantic.pth")
-                self.paths.setdefault(scene, []).append(p)
+                if os.path.exists(p):  # only a subset of scenes is annotated
+                    self.paths.setdefault(scene, []).append(p)
         if mp3d_root and os.path.isdir(mp3d_root):
             for d in sorted(os.listdir(mp3d_root)):
                 p = os.path.join(mp3d_root, d, d + "_semantic.pth")
@@ -618,9 +679,9 @@ class HM3DSemanticIndex:
     @staticmethod
     def normalize_scene_id(scene_path: str) -> str:
         name = scene_path.split("/")[-1]
-        if scene_path.endswith(".basis.glb") or "hm3d" in scene_path:
-            return name[:-10]
-        return name[:-4]
+        if name.endswith(".basis.glb"):
+            return name[: -len(".basis.glb")]
+        return os.path.splitext(name)[0]
 
     def __contains__(self, scene_id: str) -> bool:
         return scene_id in self.paths

@@ -385,3 +385,64 @@ def test_hm3d_semantic_index(tmp_path):
     assert sd.HM3DSemanticIndex.normalize_scene_id(
         "data/scene_datasets/mp3d/sceneX/sceneX.glb"
     ) == "sceneX"
+
+
+def test_scannet_skips_nonfinite_poses(tmp_path):
+    root = _make_scannet(tmp_path, n=3)
+    # corrupt frame 1 with a tracking-lost pose (real ScanNet writes -inf)
+    bad = np.full((4, 4), -np.inf)
+    _write_mat(tmp_path / "scene0000_00" / "pose" / "1.txt", bad)
+    ds = sd.ScanNetScenes(root, frames=4, seed=1)
+    s = ds.sample_scene()
+    assert np.isfinite(s["position"]).all()
+    assert np.isfinite(s["world2cam"]).all()
+    # frame 1's translation x=1.0 never appears; only frames 0 and 2 do
+    assert set(np.asarray(s["trans"])[:, 0].tolist()) <= {0.0, 2.0}
+
+
+def test_arkit_timestamp_pairing(tmp_path):
+    """Lexicographic name order != chronological; pairing is by timestamp
+    (including a 1 ms pincam filename offset) and a missing traj row skips
+    only that frame."""
+    scene = "41069042"
+    frames = tmp_path / scene / f"{scene}_frames"
+    for sub in ("lowres_wide", "lowres_depth", "lowres_wide_intrinsics"):
+        os.makedirs(frames / sub)
+    # timestamps 999.9 and 1000.2: sorted() reverses chronological order
+    for ts, tx in [("999.9", 1.0), ("1000.2", 2.0)]:
+        name = f"{scene}_{ts}.png"
+        _write_rgb(frames / "lowres_wide" / name)
+        _write_png16(frames / "lowres_depth" / name, np.full((6, 6), 3000))
+    # pincam for 999.9 is named with a +0.001 offset (real-data quirk)
+    (frames / "lowres_wide_intrinsics" / f"{scene}_999.901.pincam").write_text(
+        "256 192 111.0 111.0 128.0 96.0\n")
+    (frames / "lowres_wide_intrinsics" / f"{scene}_1000.2.pincam").write_text(
+        "256 192 222.0 222.0 128.0 96.0\n")
+    (frames / "lowres_wide.traj").write_text(
+        "999.9 0 0 0 1.0 0 0\n1000.2 0 0 0 2.0 0 0\n")
+    ds = sd.ARKitScenes(str(tmp_path), frames=2, seed=0)
+    s = ds.sample_scene()
+    # each frame got ITS OWN pose: w2c trans (1,0,0)->cam2world x=-1 pairs
+    # with pincam fx=111; (2,0,0)->x=-2 pairs with fx=222
+    got = {(round(float(t[0]), 3), float(k[0, 0]))
+           for t, k in zip(s["trans"], s["intrinsics"])}
+    assert got == {(-1.0, 111.0), (-2.0, 222.0)}
+
+    # a frame whose traj row is missing is skipped, not shifted
+    (frames / "lowres_wide.traj").write_text("1000.2 0 0 0 2.0 0 0\n")
+    ds2 = sd.ARKitScenes(str(tmp_path), frames=2, seed=0)
+    s2 = ds2.sample_scene()
+    assert {round(float(t[0]), 3) for t in s2["trans"]} == {-2.0}
+
+
+def test_normalize_scene_id_plain_glb():
+    assert sd.HM3DSemanticIndex.normalize_scene_id(
+        "data/hm3d/00001-abcdefghijk/abcdefghijk.glb"
+    ) == "abcdefghijk"
+
+
+def test_hm3d_index_skips_unannotated(tmp_path):
+    hm3d = tmp_path / "hm3d"
+    os.makedirs(hm3d / "00001-aaaaaaaaaaa")  # no .semantic.pth inside
+    idx = sd.HM3DSemanticIndex(str(hm3d), None)
+    assert "aaaaaaaaaaa" not in idx
