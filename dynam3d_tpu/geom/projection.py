@@ -334,12 +334,11 @@ def scale_intrinsics(
 
 def patch_geometry_from_pose(
     depth: jnp.ndarray,        # [H*W] metric depth (z-forward camera frame)
-    intrinsics: jnp.ndarray,   # [3,3] or [4,4] pinhole K
+    intrinsics: jnp.ndarray,   # [3,3] or [4,4] pinhole K, scaled to (H,W)
     rot: jnp.ndarray,          # [3,3] camera-to-world rotation
     trans: jnp.ndarray,        # [3] camera-to-world translation
     height: int,
     width: int,
-    hfov_deg: float = 90.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full-pose patch geometry for posed-frame datasets.
 
@@ -351,13 +350,19 @@ def patch_geometry_from_pose(
     ``get_heading_angle`` AFTER the world transform, so the translation is
     part of the angle — preserved as-is).
 
+    The reference's scale tangent comes from the dataset camera's actual
+    intrinsics — ``rel_direction[0][-1]`` of get_rays(K) is ``-arctan((0 -
+    cx)/fx)``, so ``|tan| = cx/fx`` of the view-scaled K (":851-856,:909").
+    Uniform K rescaling keeps ``cx/fx`` invariant, so the same ratio read off
+    the (H,W)-scaled K passed here is the identical value.
+
     Returns ``(ppos [H*W,3], pdir [H*W], pscale [H*W])`` ready for
     ``memory3d.update_view(geometry=...)``.
     """
     ppos = unproject_depth_intrinsics(
         depth.reshape(height, width), intrinsics, rot, trans
     )
-    tan_last = float(abs(_tan_grid_x(height, width, hfov_deg)[-1]))
+    tan_last = jnp.abs(intrinsics[0, 2] / intrinsics[0, 0])
     pscale = depth.reshape(-1).astype(jnp.float32) * (tan_last * 2.0 / width)
     pdir = heading_from_positions(ppos)
     return ppos, pdir, pscale
@@ -367,10 +372,69 @@ def camera_heading_from_rotation(rot: jnp.ndarray, trans: jnp.ndarray):
     """Camera ground-plane heading from an extrinsic rotation.
 
     Mirrors the reference's trick of pushing [0,0,1] through (R,T) and
-    taking ``get_heading_angle`` of the displacement
-    (src_3dff feature_fields.py:505-514).
+    taking ``get_heading_angle`` of the RESULT — the translation is part of
+    the angle (src_3dff feature_fields.py:505-514).  Stored patch directions
+    keep the same T-polluted convention (":915" runs get_heading_angle on
+    world points), so render-time ``patch_dir - camera_heading`` subtracts
+    consistently, exactly as the two quirks cancel in the reference.
     """
     fwd = rot @ jnp.asarray([0.0, 0.0, 1.0]) + trans
     origin = rot @ jnp.zeros(3) + trans
-    d = (fwd - origin)[None, :]
-    return heading_from_positions(d)[0], origin
+    return heading_from_positions(fwd[None, :])[0], origin
+
+
+def view_k(
+    intrinsics: jnp.ndarray, depth_hw: Tuple[int, int], view_hw: Tuple[int, int]
+) -> jnp.ndarray:
+    """Depth-resolution K -> view-resolution K for novel-view rendering.
+
+    Exact port of ``init_camera_intrinsic`` (src_3dff
+    feature_fields.py:851-855): focal lengths scaled by view/depth size, the
+    principal point PINNED to the view center (not scaled).
+    """
+    k = jnp.asarray(intrinsics, jnp.float32)[:3, :3]
+    vh, vw = view_hw
+    dh, dw = depth_hw
+    k = k.at[0, 0].multiply(vw / dw)
+    k = k.at[1, 1].multiply(vh / dh)
+    k = k.at[0, 2].set(vw / 2.0)
+    k = k.at[1, 2].set(vh / 2.0)
+    return k
+
+
+def ray_grid_intrinsics(
+    intrinsics: jnp.ndarray,   # [3,3] pinhole K at VIEW resolution
+    *,
+    height: int,
+    width: int,
+    near: float = 0.0,
+    far: float = 10.0,
+    n_samples: int = 501,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Camera-frame ray sample grid from real camera intrinsics.
+
+    Port of ``get_rays`` (src_3dff feature_fields.py:390-406): the reference
+    unprojects ``n_samples`` constant-depth images through open3d at depths
+    ``near + spacing*(i+1)`` (NOT linspace like the habitat variant), with
+    pixel rays ``x=(u-cx)d/fx, y=(v-cy)d/fy, z=d`` (x right, y down,
+    z forward); per-ray direction is ``-arctan(x/z)`` of the last sample.
+
+    K is traced (per-scene), so this is jnp, not precomputed numpy.
+
+    Returns ``(rel_position [H*W,n_samples,3], rel_direction [H*W,1],
+    rel_dist [H*W,n_samples])``.
+    """
+    fx, fy = intrinsics[0, 0], intrinsics[1, 1]
+    cx, cy = intrinsics[0, 2], intrinsics[1, 2]
+    spacing = (far - near) / n_samples
+    dist = near + spacing * jnp.arange(1, n_samples + 1, dtype=jnp.float32)
+    u = jnp.arange(width, dtype=jnp.float32)[None, :]
+    v = jnp.arange(height, dtype=jnp.float32)[:, None]
+    tan_x = ((u - cx) / fx * jnp.ones((height, 1))).reshape(-1)   # [HW]
+    tan_y = ((v - cy) / fy * jnp.ones((1, width))).reshape(-1)
+    rel_x = tan_x[:, None] * dist[None, :]
+    rel_y = tan_y[:, None] * dist[None, :]
+    rel_z = jnp.broadcast_to(dist[None, :], rel_x.shape)
+    rel_position = jnp.stack([rel_x, rel_y, rel_z], axis=-1)
+    rel_direction = -jnp.arctan(tan_x)[:, None]
+    return rel_position, rel_direction, rel_z

@@ -166,9 +166,7 @@ def render_view(
     Port of ``render_view_3d_patch`` (":494-625"), habitat mode.
     """
     H, W = cfg.view_height, cfg.view_width
-    NS, NI, K = cfg.n_samples, cfg.n_importance, cfg.search_num
-    D = cfg.fts_dim
-    R = H * W
+    NS = cfg.n_samples
 
     (rel_x, rel_y, rel_z), rel_dir, rel_dist = ray_grid_habitat(
         height=H, width=W, hfov_deg=cfg.view_hfov, vfov_deg=cfg.view_vfov,
@@ -185,6 +183,61 @@ def render_view(
     ray_y = rel_x * sh + rel_y * ch + camera_position[1]
     ray_z = rel_z + camera_position[2]
     ray_xyz = jnp.stack([ray_x, ray_y, ray_z], axis=-1)     # [R,NS,3]
+
+    return _render_core(
+        params, cfg, state, ray_xyz, rel_dir, rel_dist, camera_heading
+    )
+
+
+def render_view_posed(
+    params: Params,
+    cfg: FieldsConfig,
+    state: FieldState,
+    intrinsics: jnp.ndarray,   # [3,3] K at VIEW resolution (cx=W/2, cy=H/2)
+    rot: jnp.ndarray,          # [3,3] camera-to-world rotation
+    trans: jnp.ndarray,        # [3] camera-to-world translation
+) -> RenderOut:
+    """Render a novel view posed by real camera intrinsics/extrinsics.
+
+    Port of ``render_view_3d_patch``'s generic-intrinsics branch
+    (":505-537"): rays come from ``get_rays(K)`` in the z-forward camera
+    frame and are transformed by the FULL (R, T) — camera pitch and true FOV
+    are preserved (unlike the habitat branch's heading-only rotation); the
+    camera direction for patch-direction offsets is the reference's
+    T-polluted ``get_heading_angle(R @ [0,0,1] + T)`` quirk.
+    """
+    from dynam3d_tpu.geom.projection import (
+        camera_heading_from_rotation,
+        ray_grid_intrinsics,
+    )
+
+    H, W = cfg.view_height, cfg.view_width
+    rel_position, rel_dir, rel_dist = ray_grid_intrinsics(
+        intrinsics, height=H, width=W,
+        near=cfg.near, far=cfg.far, n_samples=cfg.n_samples,
+    )
+    ray_xyz = rel_position @ rot.T + trans[None, None, :]   # [R,NS,3]
+    camera_heading, _ = camera_heading_from_rotation(rot, trans)
+    return _render_core(
+        params, cfg, state, ray_xyz, rel_dir, rel_dist, camera_heading
+    )
+
+
+def _render_core(
+    params: Params,
+    cfg: FieldsConfig,
+    state: FieldState,
+    ray_xyz: jnp.ndarray,      # [R,NS,3] world-frame sample points
+    rel_dir: jnp.ndarray,      # [R,1] per-ray direction angle
+    rel_dist: jnp.ndarray,     # [R,NS] distances along the ray
+    camera_heading: jnp.ndarray,  # scalar ground-plane camera direction
+) -> RenderOut:
+    """Mode-independent render body (":538-625"): importance sampling,
+    neighbor conditioning, fused NeRF MLP, volume compositing."""
+    H, W = cfg.view_height, cfg.view_width
+    NS, NI, K = cfg.n_samples, cfg.n_importance, cfg.search_num
+    D = cfg.fts_dim
+    R = H * W
 
     # stage 1: density proxy from k-NN over ALL sample points (":538-552")
     from dynam3d_tpu.ops.pallas_knn import knn_auto

@@ -37,6 +37,7 @@ from dynam3d_tpu.geom.projection import (
     patch_geometry_from_pose,
     scale_intrinsics,
     unproject_depth_habitat,
+    view_k,
 )
 from dynam3d_tpu.runtime import checkpoint as ckpt_mod
 from dynam3d_tpu.runtime import trainer_3dff
@@ -60,7 +61,7 @@ class SyntheticFramesDataset:
     loaders of scannet/3rscan/arkit/structured3d)."""
 
     def __init__(self, rgb_size=56, depth_size=32, frames=4, seed=0,
-                 use_labels=True):
+                 use_labels=True, posed=False):
         from dynam3d_tpu.runtime.feed import SyntheticRoomFeed
 
         self._feed = SyntheticRoomFeed(
@@ -68,7 +69,19 @@ class SyntheticFramesDataset:
         )
         self.frames = frames
         self.use_labels = use_labels
+        self.posed = posed  # emit (K, R, T) like the disk loaders do
+        self.depth_size = depth_size
         self.rng = np.random.default_rng(seed)
+
+    @staticmethod
+    def _extrinsic_from_pose(heading: float) -> np.ndarray:
+        """camera-to-world R for a level camera at the given heading: camera
+        x right, y down, z forward (the posed-dataset convention)."""
+        ch, sh = math.cos(heading), math.sin(heading)
+        right = np.asarray([ch, sh, 0.0])
+        down = np.asarray([0.0, 0.0, -1.0])
+        forward = np.asarray([-sh, ch, 0.0])
+        return np.stack([right, down, forward], axis=1).astype(np.float32)
 
     def sample_scene(self):
         self._feed.reset()
@@ -86,7 +99,7 @@ class SyntheticFramesDataset:
         G = 128
         gt_xyz = self.rng.uniform(0, 8, (G, 3)).astype(np.float32)
         gt_xyz[:, 2] = self.rng.uniform(0, 2.5, G)
-        return dict(
+        scene = dict(
             rgb=np.stack(rgbs),
             depth=np.stack(depths),
             position=np.stack(poss),
@@ -95,6 +108,23 @@ class SyntheticFramesDataset:
             gt_label=self.rng.integers(1, 32, G).astype(np.int32),
             use_labels=self.use_labels,
         )
+        if self.posed:
+            from dynam3d_tpu.geom.projection import habitat_to_world
+
+            ds = self.depth_size
+            k = np.eye(3, dtype=np.float32)
+            k[0, 0] = k[1, 1] = ds / 2.0  # hfov 90 pinhole
+            k[0, 2] = k[1, 2] = ds / 2.0
+            world = np.asarray(habitat_to_world(np.stack(poss)))
+            rots = np.stack(
+                [self._extrinsic_from_pose(hds[i]) for i in range(self.frames)]
+            )
+            scene.update(
+                intrinsics=np.tile(k, (self.frames, 1, 1)),
+                rot=rots,
+                trans=world.astype(np.float32),
+            )
+        return scene
 
 
 class PretrainRunner:
@@ -104,10 +134,17 @@ class PretrainRunner:
         self.cfg = cfg
         self.params = params
         self.opt = trainer_3dff.make_pretrain_optimizer(cfg)
-        self._step = jax.jit(trainer_3dff.make_pretrain_step(cfg, self.opt))
+        self._steps = {}  # posed-mode -> jitted step (walk/frames programs)
         self._encode = jax.jit(self._encode_views)
         self.seed = seed
         self.it = 0
+
+    def _get_step(self, posed: bool):
+        if posed not in self._steps:
+            self._steps[posed] = jax.jit(
+                trainer_3dff.make_pretrain_step(self.cfg, self.opt, posed=posed)
+            )
+        return self._steps[posed]
 
     def _encode_views(self, clip_params, rgb):
         pixels = clip_mod.preprocess_rgb(rgb, self.cfg.clip.image_size)
@@ -147,9 +184,7 @@ class PretrainRunner:
                 lambda k: scale_intrinsics(k, d_hw, (H, W))
             )(jnp.asarray(scene["intrinsics"]))
             ppos, pdir, pscale = jax.vmap(
-                lambda d, k, r, t: patch_geometry_from_pose(
-                    d, k, r, t, H, W, f.input_hfov
-                )
+                lambda d, k, r, t: patch_geometry_from_pose(d, k, r, t, H, W)
             )(d24, ks, jnp.asarray(scene["rot"]), jnp.asarray(scene["trans"]))
         else:
             def _geo(d, pos, hd):
@@ -164,13 +199,31 @@ class PretrainRunner:
             lambda dv: depth_plane_segments(dv, H, W, f.max_segments)
         )(d24)
 
+        posed = "intrinsics" in scene
+        reuse_grids = False
         if novel_views is None:
-            novel_views = {
-                "position": scene["position"][:2],
-                "heading": scene["heading"][:2],
-                "rgb": scene["rgb"][:2],
-            }
-        ncls, ngrid = self._encode(clip_params, jnp.asarray(novel_views["rgb"]))
+            if posed:
+                # FramesDriver renders EVERY input view back with its real
+                # (R, T) (ss_trainer_3DFF.py:1271-1273) — the novel views ARE
+                # the inputs, so their CLIP grids are reused, not re-encoded
+                novel_views = {
+                    "rgb": scene["rgb"],
+                    "position": scene["position"],
+                    "heading": scene["heading"],
+                    "rot": scene["rot"],
+                    "trans": scene["trans"],
+                }
+                reuse_grids = True
+            else:
+                novel_views = {
+                    "position": scene["position"][:2],
+                    "heading": scene["heading"][:2],
+                    "rgb": scene["rgb"][:2],
+                }
+        if reuse_grids:
+            ngrid = grid
+        else:
+            _, ngrid = self._encode(clip_params, jnp.asarray(novel_views["rgb"]))
         # gt novel-view features: 24x24 grid avg-pooled 2x2 -> 12x12
         Nv = novel_views["rgb"].shape[0]
         g = int(math.sqrt(ngrid.shape[1]))
@@ -203,6 +256,21 @@ class PretrainRunner:
             novel_position=habitat_to_world(jnp.asarray(novel_views["position"])),
             novel_heading=jnp.asarray(novel_views["heading"]),
             novel_gt_fts=novel_gt,
+            # shared view-resolution K: frame 0's intrinsics rescaled with
+            # principal point pinned to the view center (reference
+            # init_camera_intrinsic, ss_trainer_3DFF.py via
+            # feature_fields.py:851-855)
+            novel_k=(
+                view_k(scene["intrinsics"][0], scene["depth"].shape[1:3],
+                       (f.view_height, f.view_width))
+                if posed else jnp.eye(3, dtype=jnp.float32)
+            ),
+            novel_rot=jnp.asarray(
+                novel_views["rot"], jnp.float32
+            ) if "rot" in novel_views else jnp.tile(jnp.eye(3), (Nv, 1, 1)),
+            novel_trans=jnp.asarray(
+                novel_views["trans"], jnp.float32
+            ) if "trans" in novel_views else jnp.zeros((Nv, 3)),
             cat_embeddings=jnp.asarray(cat_embeddings),
             gtid_to_cat=jnp.asarray(gtid_to_cat),
             gtid_text_fts=jnp.asarray(gtid_text_fts),
@@ -236,7 +304,8 @@ class PretrainRunner:
             # optimizer state tracks the trainable subtree only
             if not hasattr(self, "_tr_opt"):
                 self._tr_opt = self.opt.init(trainable)
-            new_tr, self._tr_opt, _, metrics = self._step(
+            step = self._get_step(posed="intrinsics" in scene)
+            new_tr, self._tr_opt, _, metrics = step(
                 trainable, self._tr_opt, field_state, batch
             )
             self.params["fields"] = new_tr["fields"]

@@ -186,13 +186,16 @@ def pose_from_extrinsic(
 ) -> Tuple[np.ndarray, float]:
     """Camera-to-world (R, T) -> (world position [3], ground-plane heading).
 
-    The camera forward axis (+z in camera frame) pushed through R gives the
-    view direction; its ground-plane angle is the habitat-style heading (the
-    reference's extrinsic-mode heading trick,
-    ``src_3dff/models/feature_fields.py:505-514``).
+    The camera forward axis (+z in camera frame) pushed through the FULL
+    (R, T) gives the reference's camera direction: ``get_heading_angle(
+    R @ [0,0,1] + T)`` (``src_3dff/models/feature_fields.py:505-514``) — the
+    translation is deliberately part of the angle.  Stored patch directions
+    use the same T-polluted convention (get_heading_angle of world points,
+    ":915"), so the render-time relative direction ``patch_dir - heading``
+    subtracts consistently, as the two quirks cancel in the reference.
     """
     rot = np.asarray(rot, np.float64)
-    fwd = rot @ np.asarray([0.0, 0.0, 1.0])
+    fwd = rot @ np.asarray([0.0, 0.0, 1.0]) + np.asarray(trans, np.float64).reshape(3)
     heading = _heading_from_displacement(float(fwd[0]), float(fwd[1]))
     return np.asarray(trans, np.float32).reshape(3), float(heading)
 
@@ -304,12 +307,23 @@ def _load_image(path: str) -> np.ndarray:
 
 
 def _load_depth_mm(path: str, far_m: float = 10.0) -> np.ndarray:
-    """uint16 millimetre depth image -> normalized [0, 1] over ``far_m``
-    (reference ``depth_scale=1000.`` at every update call, ``:1267``; the
-    habitat-mode kernel consumes normalized depth with a 10 m far plane)."""
+    """uint16 millimetre depth image -> normalized [0, 1] over ``far_m``.
+
+    Matches the reference's ``depth_scale=1000.`` (``:1267``) and its
+    zero-pixel noise filter ``depth[depth==0] = depth.max()`` applied before
+    unprojection (``project_depth_to_3d``, feature_fields.py:79).
+
+    INTENTIONAL DIVERGENCE: the reference truncates at ``depth_trunc=1000`` m
+    while this pipeline's kernels consume [0,1]-normalized depth over a 10 m
+    far plane (FieldsConfig.depth_far); indoor sensor depth beyond 10 m is
+    clipped to the plane instead of kept metric.  For the indoor corpora this
+    pipeline targets (ScanNet/3RScan/ARKit/Structured3D) real returns are
+    well under 10 m, so only already-noisy far pixels are affected.
+    """
     from PIL import Image
 
     raw = np.asarray(Image.open(path), np.float32)
+    raw = np.where(raw == 0, raw.max(), raw)
     return np.clip(raw / 1000.0 / far_m, 0.0, 1.0)
 
 

@@ -32,7 +32,7 @@ import optax
 from dynam3d_tpu.config import Dynam3DConfig
 from dynam3d_tpu.models.memory3d.pretrain import update_view_pretrain
 from dynam3d_tpu.models.memory3d.state import FieldState
-from dynam3d_tpu.models.render.nerf import render_view
+from dynam3d_tpu.models.render.nerf import render_view, render_view_posed
 from dynam3d_tpu.ops.knn import knn_brute
 from dynam3d_tpu.runtime.losses_3dff import (
     balanced_merge_ce,
@@ -73,6 +73,14 @@ class PretrainBatch(NamedTuple):
     ppos: jnp.ndarray            # [V,HW,3] world patch positions
     pdir: jnp.ndarray            # [V,HW] patch directions
     pscale: jnp.ndarray          # [V,HW] patch scales
+    # posed novel-view cameras (FramesDriver): one shared view-scaled K (the
+    # reference's init_camera_intrinsic from frame 0 — it renders every view
+    # back with per-view R,T but the frame-0 rays, ss_trainer_3DFF.py:
+    # 1271-1273 + feature_fields.py:851-856).  None / ignored when the step
+    # is built with posed=False.
+    novel_k: Any = None          # [3,3]
+    novel_rot: Any = None        # [Nv,3,3]
+    novel_trans: Any = None      # [Nv,3]
 
 
 def pretrain_step_loss(
@@ -81,6 +89,7 @@ def pretrain_step_loss(
     state: FieldState,
     batch: PretrainBatch,
     max_gt_label: int = 512,
+    posed: bool = False,
 ) -> Tuple[jnp.ndarray, FieldState, Dict[str, jnp.ndarray]]:
     f = cfg.fields
     V = batch.depth.shape[0]
@@ -127,13 +136,27 @@ def pretrain_step_loss(
     )
 
     # ---- novel-view rendering losses (ss_trainer_3DFF.py:1053-1093) ----
-    def render_one(pos, hd):
-        out = render_view(params["render"], f, state, pos, hd)
-        return out.features.reshape(-1, f.fts_dim), out.positions.reshape(-1, 3)
+    if posed:
+        # FramesDriver: render with the real camera (K, R, T) — the
+        # reference's generic-intrinsics branch (feature_fields.py:505-537),
+        # preserving camera pitch and the true FOV (NOT position+heading)
+        def render_one_posed(rot, trans):
+            out = render_view_posed(
+                params["render"], f, state, batch.novel_k, rot, trans
+            )
+            return out.features.reshape(-1, f.fts_dim), out.positions.reshape(-1, 3)
 
-    nv_fts, nv_pos = jax.lax.map(
-        lambda xs: render_one(*xs), (batch.novel_position, batch.novel_heading)
-    )  # [Nv,R,D], [Nv,R,3]
+        nv_fts, nv_pos = jax.lax.map(
+            lambda xs: render_one_posed(*xs), (batch.novel_rot, batch.novel_trans)
+        )  # [Nv,R,D], [Nv,R,3]
+    else:
+        def render_one(pos, hd):
+            out = render_view(params["render"], f, state, pos, hd)
+            return out.features.reshape(-1, f.fts_dim), out.positions.reshape(-1, 3)
+
+        nv_fts, nv_pos = jax.lax.map(
+            lambda xs: render_one(*xs), (batch.novel_position, batch.novel_heading)
+        )  # [Nv,R,D], [Nv,R,3]
     pred = nv_fts.reshape(-1, f.fts_dim).astype(jnp.float32)
     gt = batch.novel_gt_fts.reshape(-1, f.fts_dim).astype(jnp.float32)
     ray_mask = jnp.ones((pred.shape[0],), bool)
@@ -215,16 +238,18 @@ def make_pretrain_optimizer(cfg: Dynam3DConfig) -> optax.GradientTransformation:
     )
 
 
-def make_pretrain_step(cfg: Dynam3DConfig, optimizer):
+def make_pretrain_step(cfg: Dynam3DConfig, optimizer, posed: bool = False):
     """Jitted step: NaN-consensus skip (":504-517") + AdamW update.
 
     Trains the fields modules and the renderer (encoders stay frozen as in
-    the reference — CLIP is never updated)."""
+    the reference — CLIP is never updated).  ``posed`` selects the
+    generic-intrinsics novel-view render path (one compiled program per
+    mode — the walk/frames drivers each keep their own)."""
 
     def step(trainable, opt_state, field_state, batch: PretrainBatch):
         def loss_fn(tr):
             loss, new_state, metrics = pretrain_step_loss(
-                tr, cfg, field_state, batch
+                tr, cfg, field_state, batch, posed=posed
             )
             return loss, (new_state, metrics)
 

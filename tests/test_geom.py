@@ -175,3 +175,78 @@ def test_patch_geometry_from_pose_known_point():
     np.testing.assert_allclose(
         np.asarray(pdir), np.asarray(heading_from_positions(ppos)), atol=1e-6
     )
+
+
+def test_ray_grid_intrinsics_matches_open3d_convention():
+    """Golden: reproduce get_rays (src_3dff feature_fields.py:390-406) with a
+    plain-numpy open3d-style unprojection of constant-depth images."""
+    from dynam3d_tpu.geom.projection import ray_grid_intrinsics
+
+    H = W = 4
+    NS, near, far = 5, 0.0, 10.0
+    fx, fy, cx, cy = 2.3, 1.9, W / 2.0, H / 2.0
+    k = jnp.asarray([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], jnp.float32)
+    rel, rdir, rdist = ray_grid_intrinsics(
+        k, height=H, width=W, near=near, far=far, n_samples=NS
+    )
+    rel, rdir, rdist = map(np.asarray, (rel, rdir, rdist))
+
+    spacing = (far - near) / NS
+    exp = np.zeros((H * W, NS, 3), np.float32)
+    for i in range(NS):
+        d = near + spacing * (i + 1)
+        r = 0
+        for v in range(H):          # open3d row-major scan order
+            for u in range(W):
+                exp[r, i] = [(u - cx) * d / fx, (v - cy) * d / fy, d]
+                r += 1
+    np.testing.assert_allclose(rel, exp, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(rdist, exp[..., 2], rtol=1e-5)
+    # per-ray direction: -arctan(x/z) of the LAST sample (":403")
+    np.testing.assert_allclose(
+        rdir[:, 0], -np.arctan(exp[:, -1, 0] / exp[:, -1, 2]), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_patch_scale_from_intrinsics():
+    """pscale must be depth * |cx/fx| * 2/W of the per-view scaled K
+    (reference |tan(rel_direction[0][-1])| ~ cx/fx, feature_fields.py:909),
+    NOT the fixed config hfov."""
+    from dynam3d_tpu.geom.projection import patch_geometry_from_pose
+
+    H = W = 4
+    # a ~58-degree-hfov camera (ScanNet-like): fx != cx
+    fx = 3.6
+    k = jnp.asarray([[fx, 0, W / 2], [0, fx, H / 2], [0, 0, 1]], jnp.float32)
+    depth = jnp.full((H * W,), 2.0, jnp.float32)
+    _, _, pscale = patch_geometry_from_pose(
+        depth, k, jnp.eye(3), jnp.zeros(3), H, W
+    )
+    expect = 2.0 * (W / 2.0 / fx) * 2.0 / W
+    np.testing.assert_allclose(np.asarray(pscale), expect, rtol=1e-6)
+
+
+def test_view_k_pins_principal_point():
+    from dynam3d_tpu.geom.projection import view_k
+
+    k = np.array([[580.0, 0, 320.0], [0, 578.0, 240.0], [0, 0, 1]], np.float32)
+    vk = np.asarray(view_k(jnp.asarray(k), (480, 640), (12, 12)))
+    np.testing.assert_allclose(vk[0, 0], 580.0 * 12 / 640, rtol=1e-6)
+    np.testing.assert_allclose(vk[1, 1], 578.0 * 12 / 480, rtol=1e-6)
+    assert vk[0, 2] == 6.0 and vk[1, 2] == 6.0
+
+
+def test_camera_heading_includes_translation():
+    """The posed camera direction is get_heading_angle(R @ [0,0,1] + T)
+    (feature_fields.py:505-514): T shifts the angle."""
+    from dynam3d_tpu.geom.projection import camera_heading_from_rotation
+
+    rot = jnp.asarray(
+        [[1.0, 0, 0], [0, 0, 1.0], [0, -1.0, 0]], jnp.float32
+    )  # forward = +y
+    t = jnp.asarray([1.0, 2.0, 0.5], jnp.float32)
+    hd, origin = camera_heading_from_rotation(rot, t)
+    fwd = np.asarray(rot @ jnp.asarray([0.0, 0, 1.0]) + t)
+    expect = -math.asin(fwd[0] / math.hypot(fwd[0], fwd[1]))
+    assert abs(float(hd) - expect) < 1e-6
+    np.testing.assert_allclose(np.asarray(origin), np.asarray(t))

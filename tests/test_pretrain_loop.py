@@ -52,3 +52,46 @@ def test_pretrain_loop_runs_and_logs(tmp_path):
     # checkpoint written after iter 2
     import os
     assert any(d.startswith("ckpt.iter") for d in os.listdir(tmp_path / "ck"))
+
+
+def test_pretrain_loop_posed_frames(tmp_path):
+    """FramesDriver shape with real (K, R, T): the posed render path
+    (reference generic-intrinsics branch, feature_fields.py:505-537) is the
+    one compiled and run, and losses stay finite."""
+    key = jax.random.PRNGKey(1)
+    params = {
+        "fields": init_field_params(key, CFG.fields),
+        "render": init_render_params(jax.random.fold_in(key, 1), CFG.fields),
+        "clip": init_clip_params(jax.random.fold_in(key, 2), CFG.clip),
+    }
+    runner = PretrainRunner(params, CFG)
+    datasets = [SyntheticFramesDataset(frames=2, seed=3, posed=True)]
+    hist = runner.run(datasets, iters=2)
+    assert len(hist) == 2
+    assert all(np.isfinite(h["loss"]) for h in hist)
+    # the posed step program (not the habitat one) was compiled and used
+    assert set(runner._steps) == {True}
+
+
+def test_posed_batch_carries_cameras():
+    key = jax.random.PRNGKey(2)
+    params = {
+        "fields": init_field_params(key, CFG.fields),
+        "render": init_render_params(jax.random.fold_in(key, 1), CFG.fields),
+        "clip": init_clip_params(jax.random.fold_in(key, 2), CFG.clip),
+    }
+    runner = PretrainRunner(params, CFG)
+    ds = SyntheticFramesDataset(frames=3, seed=5, posed=True)
+    scene = ds.sample_scene()
+    batch = runner.build_batch(scene, params["clip"])
+    # novel views for posed scenes are ALL input frames with their R,T
+    # (ss_trainer_3DFF.py:1271-1273) and the frame-0 view-scaled K
+    assert batch.novel_rot.shape == (3, 3, 3)
+    assert batch.novel_trans.shape == (3, 3)
+    np.testing.assert_allclose(np.asarray(batch.novel_trans), scene["trans"], atol=1e-6)
+    # view_k pins the principal point to the view center
+    vk = np.asarray(batch.novel_k)
+    assert vk[0, 2] == CFG.fields.view_width / 2.0
+    assert vk[1, 2] == CFG.fields.view_height / 2.0
+    # gt render targets are the input frames' pooled grids
+    assert batch.novel_gt_fts.shape[0] == 3

@@ -96,15 +96,20 @@ def test_rscan_info_intrinsics(tmp_path):
 
 
 def test_pose_from_extrinsic_headings():
-    # camera looking along world +y (the zero-heading direction of
-    # heading_from_positions): heading 0
+    # The reference derives the camera direction from the TRANSLATED forward
+    # point: get_heading_angle(R @ [0,0,1] + T) (feature_fields.py:505-514) —
+    # the translation is part of the angle, matching the same T-polluted
+    # convention stored in patch directions (":915").
     rot = np.array([[1, 0, 0], [0, 0, 1], [0, -1, 0]], np.float64)
-    # rot @ [0,0,1] = [0,1,0]
-    pos, hd = sd.pose_from_extrinsic(rot, np.array([1.0, 2.0, 0.5]))
     np.testing.assert_allclose(rot @ [0, 0, 1], [0, 1, 0], atol=1e-12)
-    assert abs(hd) < 1e-6
+    trans = np.array([1.0, 2.0, 0.5])
+    pos, hd = sd.pose_from_extrinsic(rot, trans)
+    fwd = rot @ [0, 0, 1] + trans  # [1, 3, 0.5]
+    expect = -math.asin(fwd[0] / math.hypot(fwd[0], fwd[1]))
+    assert abs(hd - expect) < 1e-6
     np.testing.assert_allclose(pos, [1.0, 2.0, 0.5])
-    # looking along world -x: heading +pi/2 (left turn positive)
+    # at zero translation the quirk vanishes: looking along world -x gives
+    # heading +pi/2 (left turn positive)
     rot2 = np.array([[0, 0, -1], [1, 0, 0], [0, -1, 0]], np.float64)
     np.testing.assert_allclose(rot2 @ [0, 0, 1], [-1, 0, 0], atol=1e-12)
     _, hd2 = sd.pose_from_extrinsic(rot2, np.zeros(3))
