@@ -44,6 +44,7 @@ def _config(scale: str):
         FieldsConfig,
         LLaVAConfig,
         Phi3Config,
+        SegmenterConfig,
     )
 
     if scale == "tiny":
@@ -66,8 +67,13 @@ def _config(scale: str):
                 ),
                 projector_hidden=64, prefill_bucket=64, max_new_tokens=8,
             ),
+            segmenter=SegmenterConfig(
+                provider="yolov8", imgsz=32, width_mult=0.125,
+                depth_mult=0.34, num_protos=8, max_masks=8,
+            ),
         )
     # full dims; LLM depth via env — default is the FULL 32-layer Phi-3-mini
+    # (segmenter defaults to the full FastSAM-x port at 576^2)
     n_layers = int(os.environ.get("DYNAM3D_BENCH_LLM_LAYERS", "32"))
     return Dynam3DConfig(
         fields=FieldsConfig(
@@ -154,6 +160,12 @@ def main():
     steps = int(os.environ.get("DYNAM3D_BENCH_STEPS", "12"))
     B = int(os.environ.get("DYNAM3D_BENCH_BATCH", "1"))
     cfg = _config(scale)
+    if os.environ.get("DYNAM3D_SEGMENTER"):  # A/B: yolov8 | depth_plane
+        from dynam3d_tpu.config import apply_opts
+
+        cfg = apply_opts(
+            cfg, [f"segmenter.provider={os.environ['DYNAM3D_SEGMENTER']}"]
+        )
 
     params = policy_mod.init_policy_params(jax.random.PRNGKey(0), cfg)
     # int8 weight-only decode is the default serving configuration (greedy
@@ -241,6 +253,7 @@ def main():
                     "steps": steps,
                     "batch": B,
                     "int8_decode": int8,
+                    "segmenter": cfg.segmenter.provider,
                 },
             }
         )

@@ -103,15 +103,29 @@ class DepthEncoderConfig:
 
 @dataclass(frozen=True)
 class SegmenterConfig:
-    """FastSAM / YOLOv8-seg "segment everything" (models/fastsam/*.py)."""
+    """FastSAM / YOLOv8-seg "segment everything" (models/fastsam/*.py).
 
+    ``provider`` selects the live segmentation source in the perceive path:
+    "yolov8" (default — the learned FastSAM port, matching the reference's
+    always-on FastSAM at feature_fields.py:750-780, conf 0.4 / iou 0.8 /
+    imgsz 576) or "depth_plane" (the geometric fallback / test provider,
+    models/segmenter.py).
+    """
+
+    provider: str = "yolov8"
     imgsz: int = 576
     conf: float = 0.4
     iou: float = 0.8
     max_masks: int = 64             # fixed S_max for TPU
-    width_mult: float = 1.0         # YOLOv8-x for FastSAM-x
+    width_mult: float = 1.25        # FastSAM-x = YOLOv8x-seg scaling
     depth_mult: float = 1.0
     num_protos: int = 32
+
+    def depth_layers(self) -> tuple:
+        """ultralytics depth scaling: base (3,6,6,3) x depth_mult, min 1."""
+        return tuple(
+            max(1, round(n * self.depth_mult)) for n in (3, 6, 6, 3)
+        )
 
 
 @dataclass(frozen=True)

@@ -279,6 +279,34 @@ def segment_id_map(
     return jax.vmap(per_image)(out.boxes, out.scores, out.coeffs, out.protos)
 
 
+def segment_views(
+    params: Params,
+    seg_cfg,                  # config.SegmenterConfig
+    rgb: jnp.ndarray,         # [N,H,W,3] uint8 views
+    grid_hw: Tuple[int, int],
+    max_segments: int,
+) -> jnp.ndarray:
+    """rgb views -> ``[N, gh*gw] int32`` patch segment ids (the live
+    perception provider).
+
+    Mirrors the reference FastSAM invocation (feature_fields.py:750-780):
+    bilinear resize to ``imgsz`` (square->square, so ultralytics' letterbox
+    degenerates to a plain resize), /255 normalization, everything-prompt
+    inference at conf/iou from config, then ``get_patch_segm``-style id-map
+    composition (segment_id_map).  Ids are clamped into the memory's
+    ``max_segments`` id space.
+    """
+    s = seg_cfg.imgsz
+    x = jnp.asarray(rgb).astype(jnp.float32) / 255.0
+    x = jax.image.resize(x, (x.shape[0], s, s, 3), method="bilinear")
+    out = forward(params, x, depth_n=seg_cfg.depth_layers())
+    ids = segment_id_map(
+        out, (s, s), grid_hw,
+        conf=seg_cfg.conf, iou_thr=seg_cfg.iou, max_masks=seg_cfg.max_masks,
+    )
+    return jnp.minimum(ids, max_segments - 1)
+
+
 # --------------------------------------------------------------------------
 # params
 # --------------------------------------------------------------------------

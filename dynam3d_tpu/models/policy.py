@@ -78,10 +78,10 @@ def init_policy_params(key: jax.Array, cfg: Dynam3DConfig, llm_dtype=jnp.bfloat1
     Mirrors Policy_Dynam3D_VLN.__init__ (":79-157"): frozen Feature_Fields +
     CLIP + llava tower; trained projectors + Phi-3.
     """
-    k1, k2, k3, k4, k5, k6, k7, k8 = jax.random.split(key, 8)
+    k1, k2, k3, k4, k5, k6, k7, k8, k9 = jax.random.split(key, 9)
     d = cfg.fields.fts_dim
     dl = cfg.llava.phi3.hidden_size
-    return {
+    params = {
         "fields": init_field_params(k1, cfg.fields),
         "clip": clip_mod.init_clip_params(k2, cfg.clip),
         "llava": llava_mod.init_llava_params(k3, cfg.llava, cfg.clip, dtype=llm_dtype),
@@ -91,6 +91,17 @@ def init_policy_params(key: jax.Array, cfg: Dynam3DConfig, llm_dtype=jnp.bfloat1
         "inst_proj": init_mlp2(k7, 2 * d, dl, dl),
         "zone_proj": init_mlp2(k8, 2 * d, dl, dl),
     }
+    if cfg.segmenter.provider == "yolov8":
+        # the frozen FastSAM runtime (feature_fields.py:257; weights come
+        # from checkpoint.fastsam_params_from_torch in production)
+        from dynam3d_tpu.models.encoders import yolov8_seg
+
+        params["yolo"] = yolov8_seg.init_yolov8_params(
+            k9, width=cfg.segmenter.width_mult,
+            depth_n=cfg.segmenter.depth_layers(),
+            num_protos=cfg.segmenter.num_protos,
+        )
+    return params
 
 
 def perceive(
@@ -130,10 +141,19 @@ def perceive(
     _, grid = clip_mod.encode_image(params["clip"], cfg.clip, pixels)
     grid = jax.lax.stop_gradient(grid).reshape(B, V, HW, f.fts_dim)
 
-    # --- segmentation (FastSAM contract; geometric provider here) ---
-    segm = jax.vmap(
-        lambda dv: depth_plane_segments(dv, H, W, f.max_segments)
-    )(d24.reshape(B * V, HW)).reshape(B, V, HW)
+    # --- segmentation: learned FastSAM port by default (the reference
+    # segments every view, feature_fields.py:750-780), geometric fallback ---
+    if cfg.segmenter.provider == "yolov8" and "yolo" in params:
+        from dynam3d_tpu.models.encoders import yolov8_seg
+
+        segm = yolov8_seg.segment_views(
+            params["yolo"], cfg.segmenter,
+            rgb.reshape(B * V, *rgb.shape[2:]), (H, W), f.max_segments,
+        ).reshape(B, V, HW)
+    else:
+        segm = jax.vmap(
+            lambda dv: depth_plane_segments(dv, H, W, f.max_segments)
+        )(d24.reshape(B * V, HW)).reshape(B, V, HW)
 
     pos_world = habitat_to_world(position_hab)
 

@@ -13,6 +13,7 @@ from dynam3d_tpu.config import (
     FieldsConfig,
     LLaVAConfig,
     Phi3Config,
+    SegmenterConfig,
 )
 from dynam3d_tpu.models import policy as policy_mod
 from dynam3d_tpu.runtime.episode import EpisodeRunner
@@ -40,6 +41,12 @@ def tiny_config() -> Dynam3DConfig:
             projector_hidden=64,
             prefill_bucket=64,
             max_new_tokens=8,
+        ),
+        # tiny learned segmenter: the e2e slice drives the SAME provider the
+        # reference always runs (FastSAM, feature_fields.py:750-780)
+        segmenter=SegmenterConfig(
+            provider="yolov8", imgsz=32, width_mult=0.125, depth_mult=0.34,
+            num_protos=8, max_masks=8,
         ),
     )
 

@@ -325,6 +325,7 @@ def test_frames_driver_integration(tmp_path):
         FieldsConfig,
         LLaVAConfig,
         Phi3Config,
+        SegmenterConfig,
     )
     from dynam3d_tpu.models import policy as policy_mod
     from dynam3d_tpu.runtime.pretrain_loop import PretrainRunner
@@ -356,6 +357,7 @@ def test_frames_driver_integration(tmp_path):
             ),
             projector_hidden=64, prefill_bucket=64, max_new_tokens=8,
         ),
+        segmenter=SegmenterConfig(provider="depth_plane"),
     )
     params = policy_mod.init_policy_params(jax.random.PRNGKey(0), cfg)
     runner = PretrainRunner(params, cfg)

@@ -81,3 +81,53 @@ def test_parity_across_seeds():
         np.testing.assert_allclose(
             np.asarray(state.inst_pos)[iv], emu.inst_pos[iv], rtol=1e-3, atol=1e-3
         )
+
+
+def test_tables_match_with_yolo_segments():
+    """Same table-for-table parity, but the segment maps come from the
+    YOLOv8-seg port (random weights) instead of the geometric stand-in —
+    the live provider's id distribution (background id 0, non-contiguous
+    footprints) flows through the update identically (VERDICT r1 item 2)."""
+    from dynam3d_tpu.config import SegmenterConfig
+    from dynam3d_tpu.models.encoders import yolov8_seg
+
+    seg_cfg = SegmenterConfig(
+        provider="yolov8", imgsz=32, width_mult=0.125, depth_mult=0.34,
+        num_protos=8, max_masks=8, conf=0.1,
+    )
+    yolo = yolov8_seg.init_yolov8_params(
+        jax.random.PRNGKey(7), width=seg_cfg.width_mult,
+        depth_n=seg_cfg.depth_layers(), num_protos=seg_cfg.num_protos,
+    )
+    rng = np.random.default_rng(11)
+    params = init_field_params(jax.random.PRNGKey(11), CFG)
+    state = init_state(CFG)
+    emu = RefEmulator(params, CFG)
+
+    n_seg_seen = 0
+    for t in range(3):
+        rgb = rng.integers(0, 255, (1, 56, 56, 3), dtype=np.uint8)
+        segm = np.asarray(
+            yolov8_seg.segment_views(
+                yolo, seg_cfg, jnp.asarray(rgb), (4, 4), CFG.max_segments
+            )
+        )[0].astype(np.int32)
+        n_seg_seen = max(n_seg_seen, int(segm.max()) + 1)
+        depth = rng.uniform(1.0, 6.0, HW).astype(np.float32)
+        grid = rng.normal(size=(HW, CFG.fts_dim)).astype(np.float32)
+        pos = np.float32([0.2 * t, 0.1 * t, 1.25])
+        hd = np.float32(0.15 * t)
+        state, _ = update_view(
+            params, state, CFG, jnp.asarray(depth), jnp.asarray(grid),
+            jnp.asarray(segm), jnp.asarray(pos), jnp.asarray(hd),
+        )
+        emu.update(depth, grid, segm, pos, hd)
+
+    np.testing.assert_array_equal(np.asarray(state.inst_valid), emu.inst_valid)
+    iv = emu.inst_valid
+    np.testing.assert_allclose(
+        np.asarray(state.inst_fts)[iv], emu.inst_fts[iv], rtol=2e-2, atol=2e-2
+    )
+    owners = np.asarray(state.patch_owner)
+    for s, iid in emu.patch_to_instance.items():
+        assert owners[s] == iid
