@@ -25,6 +25,11 @@ Intentional divergences from the reference (see also state.py):
     appended rows (reference bug, feature_fields.py:629 vs :556-570);
   - a touched zone cell with zero member instances is skipped instead of
     producing NaN means (reference torch ``.mean()`` over an empty set);
+  - a zone whose last member instance moves away is invalidated; the
+    reference keeps the stale row (features frozen at its last refresh)
+    addressable by get_environment_features forever (update never deletes
+    zones, feature_fields.py:693-756 — verified against the actual reference
+    code in tests/test_reference_golden.py);
   - instance re-aggregation gathers at most ``cfg.max_members`` member
     patches (lowest slot ids first) instead of all — the reference instead
     silently switches gradients off above a GPU-memory threshold (":678-686");

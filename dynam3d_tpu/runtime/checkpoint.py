@@ -185,6 +185,81 @@ def clip_params_from_torch(sd: Mapping, vision_layers: int, text_layers: int) ->
     }
 
 
+def clip_vision_from_hf(sd: Mapping, num_layers: int) -> Dict[str, Any]:
+    """HF ``CLIPVisionModel`` (the llava ``vision_tower``) -> our clip
+    ``visual`` tree.
+
+    The xtuner llava-phi-3-mini-hf checkpoint carries the vision tower in HF
+    layout (separate q/k/v projections, ``pre_layrnorm`` [sic]); the vendored
+    OpenAI layout converter above handles the reference's standalone CLIP.
+    LLaVA consumes intermediate hidden states (vision_feature_layer=-2), so
+    ``ln_post``/``proj`` are filled with identity — encode_image never
+    reaches them on the hidden-layer path.
+    """
+
+    def g(k):
+        for cand in (
+            k,
+            f"vision_tower.{k}",
+            f"model.vision_tower.{k}",
+            f"vision_tower.vision_model.{k}",
+            f"model.vision_tower.vision_model.{k}",
+            f"vision_model.{k}",
+        ):
+            if cand in sd:
+                return _np(sd[cand])
+        raise KeyError(k)
+
+    def dense(prefix):
+        return {
+            "w": jnp.asarray(g(f"{prefix}.weight").T),
+            "b": jnp.asarray(g(f"{prefix}.bias")),
+        }
+
+    def ln(prefix):
+        return {
+            "scale": jnp.asarray(g(f"{prefix}.weight")),
+            "bias": jnp.asarray(g(f"{prefix}.bias")),
+        }
+
+    def block(i):
+        p = f"encoder.layers.{i}"
+        qkv_w = np.concatenate(
+            [g(f"{p}.self_attn.q_proj.weight"), g(f"{p}.self_attn.k_proj.weight"),
+             g(f"{p}.self_attn.v_proj.weight")], axis=0,
+        ).T
+        qkv_b = np.concatenate(
+            [g(f"{p}.self_attn.q_proj.bias"), g(f"{p}.self_attn.k_proj.bias"),
+             g(f"{p}.self_attn.v_proj.bias")], axis=0,
+        )
+        return {
+            "attn": {
+                "qkv": {"w": jnp.asarray(qkv_w), "b": jnp.asarray(qkv_b)},
+                "out": dense(f"{p}.self_attn.out_proj"),
+            },
+            "ln1": ln(f"{p}.layer_norm1"),
+            "ln2": ln(f"{p}.layer_norm2"),
+            "fc1": dense(f"{p}.mlp.fc1"),
+            "fc2": dense(f"{p}.mlp.fc2"),
+        }
+
+    conv_w = g("embeddings.patch_embedding.weight")  # [W,3,P,P], no bias
+    W, _, P, _ = conv_w.shape
+    conv_flat = conv_w.transpose(2, 3, 1, 0).reshape(P * P * 3, W)
+    return {
+        "conv1_w": jnp.asarray(conv_flat),
+        "class_embedding": jnp.asarray(g("embeddings.class_embedding").reshape(-1)),
+        "positional_embedding": jnp.asarray(g("embeddings.position_embedding.weight")),
+        "ln_pre": ln("pre_layrnorm"),
+        "transformer": {"blocks": [block(i) for i in range(num_layers)]},
+        "ln_post": {
+            "scale": jnp.ones((W,), jnp.float32),
+            "bias": jnp.zeros((W,), jnp.float32),
+        },
+        "proj": jnp.eye(W, dtype=jnp.float32),
+    }
+
+
 # --------------------------------------------------------------------------
 # Phi-3 / LLaVA (HF layout)
 # --------------------------------------------------------------------------
@@ -192,7 +267,18 @@ def phi3_params_from_torch(sd: Mapping, num_layers: int, dtype=jnp.bfloat16) -> 
     """HF ``Phi3ForCausalLM`` (under ``language_model.`` in llava) layouts."""
 
     def g(k):
-        for cand in (k, f"language_model.{k}", f"model.{k}", f"language_model.model.{k}"):
+        # bare Phi3ForCausalLM, legacy llava ("language_model.model."), and
+        # transformers>=4.52 llava ("model.language_model." with the inner
+        # "model." dropped) key layouts
+        stripped = k[len("model."):] if k.startswith("model.") else k
+        for cand in (
+            k,
+            f"language_model.{k}",
+            f"model.{k}",
+            f"language_model.model.{k}",
+            f"model.language_model.{stripped}",
+            f"language_model.{stripped}" if stripped != k else k,
+        ):
             if cand in sd:
                 return _np(sd[cand])
         raise KeyError(k)
