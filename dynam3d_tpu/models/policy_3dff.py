@@ -56,8 +56,27 @@ def counter_clockwise_restore(x: jnp.ndarray) -> jnp.ndarray:
 class PanoramaPerception(NamedTuple):
     state: FieldState
     aux: Any                       # PretrainAux stacked over the 4 views
-    heatmap_logits: jnp.ndarray    # [B,120,12]
-    depth_feats: jnp.ndarray       # [B,12,128] pooled, counter-clockwise
+    heatmap_logits: Any            # [B,120,12]; None when with_waypoints=False
+    depth_feats: Any               # [B,12,128] pooled, ccw; None likewise
+    cls_fts: jnp.ndarray           # [B,4,D] CLIP CLS of the memory views
+
+
+def waypoint_heatmap(
+    params: Params, cfg: Dynam3DConfig, depth12: jnp.ndarray
+) -> jnp.ndarray:
+    """Frozen waypoint branch alone: 12-view depth -> [B,120,12] heatmap.
+
+    The walk driver dispatches this FIRST (candidates and novel-view poses
+    are host decisions), then runs the differentiable memory step; the
+    heatmap depends only on depth + frozen weights so nothing is lost by
+    splitting (ss_trainer_3DFF.py:845-849 computes it inside one forward)."""
+    B = depth12.shape[0]
+    d12_cw = clockwise_reorder(depth12)
+    d12_in = preprocess_depth(
+        d12_cw.reshape(B * 12, *d12_cw.shape[2:])[..., None], (0.0, 10.0)
+    ) / 10.0
+    dfeats = encode_depth(params["depth_enc"], cfg.depth, d12_in)
+    return predict_heatmap(params["waypoint"], cfg.waypoint, dfeats)
 
 
 def perceive_panorama(
@@ -71,6 +90,7 @@ def perceive_panorama(
     gt_xyz: Optional[jnp.ndarray] = None,   # [B,G,3]
     gt_label: Optional[jnp.ndarray] = None,
     gt_valid: Optional[jnp.ndarray] = None,
+    with_waypoints: bool = True,
 ) -> PanoramaPerception:
     f = cfg.fields
     B = rgb12.shape[0]
@@ -78,16 +98,18 @@ def perceive_panorama(
     HW = H * W
     view_ids = jnp.asarray(CLIP_VIEW_IDS)
 
-    # --- waypoint branch: depth encoder over clockwise 12 views ---
-    d12_cw = clockwise_reorder(depth12)
-    d12_in = preprocess_depth(
-        d12_cw.reshape(B * 12, *d12_cw.shape[2:])[..., None], (0.0, 10.0)
-    ) / 10.0  # DDPPO encoder consumes normalized depth
-    dfeats = encode_depth(params["depth_enc"], cfg.depth, d12_in)  # [B*12,F]
-    heatmap = predict_heatmap(params["waypoint"], cfg.waypoint, dfeats)
-    dfeats_ccw = counter_clockwise_restore(dfeats.reshape(B, 12, -1))
-    # spatial mean pool to 128 dims (space_pool_depth, Policy_3DFF.py:116)
-    depth_feats = dfeats_ccw.reshape(B, 12, 128, -1).mean(-1)
+    heatmap = depth_feats = None
+    if with_waypoints:
+        # --- waypoint branch: depth encoder over clockwise 12 views ---
+        d12_cw = clockwise_reorder(depth12)
+        d12_in = preprocess_depth(
+            d12_cw.reshape(B * 12, *d12_cw.shape[2:])[..., None], (0.0, 10.0)
+        ) / 10.0  # DDPPO encoder consumes normalized depth
+        dfeats = encode_depth(params["depth_enc"], cfg.depth, d12_in)  # [B*12,F]
+        heatmap = predict_heatmap(params["waypoint"], cfg.waypoint, dfeats)
+        dfeats_ccw = counter_clockwise_restore(dfeats.reshape(B, 12, -1))
+        # spatial mean pool to 128 dims (space_pool_depth, Policy_3DFF.py:116)
+        depth_feats = dfeats_ccw.reshape(B, 12, 128, -1).mean(-1)
 
     # --- memory branch: 4 clockwise views [0,3,6,9] ---
     rgb4 = clockwise_reorder(rgb12)[:, view_ids]      # [B,4,...]
@@ -143,7 +165,8 @@ def perceive_panorama(
         gt_xyz, gt_label, gt_valid,
     )
     return PanoramaPerception(
-        state=state, aux=aux, heatmap_logits=heatmap, depth_feats=depth_feats
+        state=state, aux=aux, heatmap_logits=heatmap, depth_feats=depth_feats,
+        cls_fts=cls_fts,
     )
 
 

@@ -127,6 +127,193 @@ class SyntheticFramesDataset:
         return scene
 
 
+def synthetic_supervision(seed: int, fts_dim: int, n_points: int = 128,
+                          n_cats: int = 16, max_label: int = 64) -> Dict:
+    """Random gt pcd + category/caption tables (test/bench stand-in for the
+    HM3DSemanticIndex + SceneVerse blobs)."""
+    rng = np.random.default_rng(seed)
+    gt_xyz = rng.uniform(0, 8, (n_points, 3)).astype(np.float32)
+    gt_xyz[:, 2] = rng.uniform(0, 2.5, n_points)
+    return dict(
+        gt_xyz=gt_xyz,
+        gt_label=rng.integers(1, max_label, n_points).astype(np.int32),
+        cat_embeddings=rng.normal(size=(n_cats, fts_dim)).astype(np.float32),
+        gtid_to_cat=rng.integers(-1, n_cats, max_label).astype(np.int32),
+        gtid_text_fts=rng.normal(size=(max_label, fts_dim)).astype(np.float32),
+        gtid_text_valid=np.ones((max_label,), bool),
+    )
+
+
+class WalkDriver:
+    """hm3d SS-ETP walk driver (``run_on_hm3d``, ss_trainer_3DFF.py:733-1115).
+
+    Per episode: reset the feed, then per step (<= ``max_len``) —
+
+      1. frozen waypoint heatmap over the 12-view depth panorama
+         (policy_3dff.waypoint_heatmap; ":845-849"), NMS candidates, with
+         optional train-time waypoint-augmentation sampling (":847-849",
+         Policy_3DFF.py:242-281);
+      2. sample ``nv`` novel views: random candidate -> ``get_cand_real_pos``
+         RPC, uniform random heading, ``get_observation`` RPC for the gt RGB
+         (":853-876"); gt features = CLIP grid avg-pooled to the view size;
+      3. one differentiable device step (trainer_3dff.walk_step_loss):
+         panorama fold + render + the full loss family; grads ACCUMULATE;
+      4. teacher (50%) or random (50%) candidate -> feed.step; teacher =
+         argmin cand_dist_to_goal, STOP when within ``stop_distance``
+         (":407-424,1006-1026" — geodesic stand-in: the feed's oracle);
+
+    then ONE optimizer update from the grad mean (the reference's single
+    per-episode backward, ":498-519").
+    """
+
+    def __init__(self, feed, supervision: Dict, nv: int = 4, max_len: int = 5,
+                 seed: int = 0, teacher_prob: float = 0.5,
+                 stop_distance: float = 1.5, waypoint_aug: bool = True):
+        self.feed = feed
+        self.sup = supervision
+        self.nv = nv
+        self.max_len = max_len
+        self.rng = np.random.default_rng(seed)
+        self.teacher_prob = teacher_prob
+        self.stop_distance = stop_distance
+        self.waypoint_aug = waypoint_aug
+
+    def run_iteration(self, runner: "PretrainRunner") -> Dict[str, float]:
+        from dynam3d_tpu.models.memory3d import init_state
+        from dynam3d_tpu.models.waypoint.trm import extract_candidates
+        from dynam3d_tpu.runtime.feed import STOP
+
+        cfg = runner.cfg
+        f = cfg.fields
+        for k in ("depth_enc", "waypoint"):
+            if k not in runner.params:
+                raise KeyError(
+                    f"WalkDriver needs frozen '{k}' params on the runner "
+                    "(init_depth_encoder_params / init_waypoint_params or "
+                    "their checkpoint converters)"
+                )
+        trainable = {
+            "fields": runner.params["fields"],
+            "render": runner.params["render"],
+        }
+        frozen = {k: v for k, v in runner.params.items() if k not in trainable}
+        runner._ensure_opt(trainable)
+        grad_fn = runner._get_walk_grad()
+        heat_fn = runner._get_heatmap()
+
+        obs = self.feed.reset()
+        state = jax.tree_util.tree_map(
+            lambda x: x[None], init_state(f)
+        )
+        grad_sum = jax.tree_util.tree_map(jnp.zeros_like, trainable)
+        per_step: List[Dict[str, float]] = []
+
+        for stepk in range(self.max_len):
+            depth12 = jnp.asarray(obs.depth)  # [12,Hd,Wd]
+            heat = heat_fn(frozen, depth12[None])
+            cand = extract_candidates(cfg.waypoint, heat)
+            mask = np.asarray(cand.mask[0])
+            angles = np.asarray(cand.angles_ccw[0])[mask]
+            dists = np.asarray(cand.distances[0])[mask]
+            if self.waypoint_aug and len(angles):
+                from dynam3d_tpu.models.policy_3dff import sample_waypoints_train
+
+                n_ang = cfg.waypoint.num_angles
+                bins = np.round(
+                    (2 * math.pi - angles) / (2 * math.pi) * n_ang
+                ).astype(np.int64) % n_ang
+                sa, sd = sample_waypoints_train(
+                    np.asarray(heat), [bins.tolist()], self.rng
+                )
+                angles = 2 * math.pi - np.asarray(sa[0]) / n_ang * 2 * math.pi
+                dists = (np.asarray(sd[0]) + 1) * 0.25
+            if len(angles) == 0:  # degenerate heatmap: forward fan fallback
+                angles = np.asarray([0.0, math.pi / 2, -math.pi / 2])
+                dists = np.asarray([0.5, 0.5, 0.5])
+
+            # --- novel views at candidate positions ---
+            nv_pos, nv_hd, nv_rgb = [], [], []
+            for _ in range(self.nv):
+                k = int(self.rng.integers(0, len(angles)))
+                pos = self.feed.get_cand_real_pos(
+                    float(angles[k]), float(dists[k])
+                )
+                hd = float(self.rng.uniform(-math.pi, math.pi))
+                cam = self.feed.get_observation(pos, hd)
+                nv_pos.append(pos)
+                nv_hd.append(hd)
+                nv_rgb.append(cam.rgb[0])
+            _, ngrid = runner._encode(
+                runner.params["clip"], jnp.asarray(np.stack(nv_rgb))
+            )
+            novel_gt = pool_to_view(ngrid, f)
+
+            batch = trainer_3dff.WalkBatch(
+                rgb12=jnp.asarray(obs.rgb),
+                depth12=depth12,
+                position=jnp.asarray(obs.position),
+                heading=jnp.asarray(obs.heading, jnp.float32),
+                gt_xyz=jnp.asarray(self.sup["gt_xyz"]),
+                gt_label=jnp.asarray(self.sup["gt_label"]),
+                gt_valid=jnp.ones((self.sup["gt_xyz"].shape[0],), bool),
+                novel_position=habitat_to_world(jnp.asarray(np.stack(nv_pos))),
+                novel_heading=jnp.asarray(nv_hd, jnp.float32),
+                novel_gt_fts=novel_gt,
+                cat_embeddings=jnp.asarray(self.sup["cat_embeddings"]),
+                gtid_to_cat=jnp.asarray(self.sup["gtid_to_cat"]),
+                gtid_text_fts=jnp.asarray(self.sup["gtid_text_fts"]),
+                gtid_text_valid=jnp.asarray(self.sup["gtid_text_valid"]),
+                use_labels=jnp.asarray(True),
+            )
+            grads, state, metrics = grad_fn(trainable, frozen, state, batch)
+            grad_sum = jax.tree_util.tree_map(jnp.add, grad_sum, grads)
+            per_step.append({k: float(v) for k, v in metrics.items()})
+
+            # --- step the feed: teacher or random candidate ---
+            if stepk == self.max_len - 1:
+                action = STOP
+            elif self.rng.uniform() < self.teacher_prob:
+                cd = [
+                    self.feed.cand_dist_to_goal(float(a), float(d))
+                    for a, d in zip(angles, dists)
+                ]
+                if self.feed.oracle_distance(None) < self.stop_distance:
+                    action = STOP
+                else:
+                    k = int(np.argmin(cd))
+                    action = (float(angles[k]), float(dists[k]))
+            else:
+                k = int(self.rng.integers(0, len(angles)))
+                action = (float(angles[k]), float(dists[k]))
+            obs, done, _ = self.feed.step(action)
+            if done or action == STOP:
+                break
+
+        new_tr, runner._tr_opt = trainer_3dff.apply_accumulated_grads(
+            runner.opt, trainable, runner._tr_opt, grad_sum, len(per_step)
+        )
+        runner.params["fields"] = new_tr["fields"]
+        runner.params["render"] = new_tr["render"]
+        out = {
+            k: float(np.mean([m[k] for m in per_step]))
+            for k in per_step[0]
+        }
+        out["walk_steps"] = float(len(per_step))
+        return out
+
+
+def pool_to_view(grid: jnp.ndarray, f) -> jnp.ndarray:
+    """CLIP patch grid [N, g*g, D] -> avg-pooled view targets [N, R, D]
+    (the 24->12 AvgPool2d at ss_trainer_3DFF.py:884-887)."""
+    N, GG, D = grid.shape
+    g = int(math.sqrt(GG))
+    vh, vw = f.view_height, f.view_width
+    pool = grid.reshape(N, g, g, D)
+    ph, pw = g // vh, g // vw
+    pool = pool.reshape(N, vh, ph, vw, pw, D).mean(axis=(2, 4))
+    return pool.reshape(N, vh * vw, D)
+
+
 class PretrainRunner:
     """Owns the jitted encode/step programs and the iteration loop."""
 
@@ -145,6 +332,24 @@ class PretrainRunner:
                 trainer_3dff.make_pretrain_step(self.cfg, self.opt, posed=posed)
             )
         return self._steps[posed]
+
+    def _ensure_opt(self, trainable):
+        if not hasattr(self, "_tr_opt"):
+            self._tr_opt = self.opt.init(trainable)
+
+    def _get_walk_grad(self):
+        if not hasattr(self, "_walk_grad"):
+            self._walk_grad = jax.jit(trainer_3dff.make_walk_grad_step(self.cfg))
+        return self._walk_grad
+
+    def _get_heatmap(self):
+        if not hasattr(self, "_heatmap_fn"):
+            from dynam3d_tpu.models.policy_3dff import waypoint_heatmap
+
+            self._heatmap_fn = jax.jit(
+                lambda p, d: waypoint_heatmap(p, self.cfg, d)
+            )
+        return self._heatmap_fn
 
     def _encode_views(self, clip_params, rgb):
         pixels = clip_mod.preprocess_rgb(rgb, self.cfg.clip.image_size)
@@ -226,12 +431,7 @@ class PretrainRunner:
             _, ngrid = self._encode(clip_params, jnp.asarray(novel_views["rgb"]))
         # gt novel-view features: 24x24 grid avg-pooled 2x2 -> 12x12
         Nv = novel_views["rgb"].shape[0]
-        g = int(math.sqrt(ngrid.shape[1]))
-        vh, vw = f.view_height, f.view_width
-        pool = ngrid.reshape(Nv, g, g, D)
-        ph, pw = g // vh, g // vw
-        pool = pool.reshape(Nv, vh, ph, vw, pw, D).mean(axis=(2, 4))
-        novel_gt = pool.reshape(Nv, R, D)
+        novel_gt = pool_to_view(ngrid, f)
 
         C = 16 if cat_embeddings is None else cat_embeddings.shape[0]
         L = max_gt_label
@@ -294,7 +494,21 @@ class PretrainRunner:
         history = []
         for _ in range(iters):
             ds_id = trainer_3dff.draw_dataset_id(self.seed, self.it, len(datasets))
-            scene = datasets[ds_id].sample_scene()
+            ds = datasets[ds_id]
+            if hasattr(ds, "run_iteration"):  # WalkDriver (hm3d episode)
+                m = ds.run_iteration(self)
+                history.append(m)
+                if logger:
+                    logger.add_scalars(m, self.it, prefix="loss/")
+                if ckpt_dir and (self.it + 1) % log_every == 0:
+                    ckpt_mod.save_checkpoint(
+                        ckpt_dir, self.it + 1,
+                        {"fields": self.params["fields"],
+                         "render": self.params["render"]},
+                    )
+                self.it += 1
+                continue
+            scene = ds.sample_scene()
             batch = self.build_batch(scene, self.params["clip"])
             field_state = init_state(cfg.fields)
             trainable = {
@@ -302,8 +516,7 @@ class PretrainRunner:
                 "render": self.params["render"],
             }
             # optimizer state tracks the trainable subtree only
-            if not hasattr(self, "_tr_opt"):
-                self._tr_opt = self.opt.init(trainable)
+            self._ensure_opt(trainable)
             step = self._get_step(posed="intrinsics" in scene)
             new_tr, self._tr_opt, _, metrics = step(
                 trainable, self._tr_opt, field_state, batch

@@ -92,8 +92,6 @@ def pretrain_step_loss(
     posed: bool = False,
 ) -> Tuple[jnp.ndarray, FieldState, Dict[str, jnp.ndarray]]:
     f = cfg.fields
-    V = batch.depth.shape[0]
-    S = f.max_segments
 
     # ---- fold views, collecting pretrain aux ----
     def step(st, xs):
@@ -110,6 +108,30 @@ def pretrain_step_loss(
         (batch.depth, batch.grid_fts, batch.segm, batch.position, batch.heading,
          batch.ppos, batch.pdir, batch.pscale),
     )  # aux leaves have leading [V]
+
+    loss, metrics = losses_after_update(
+        params, cfg, state, aux, batch, posed=posed
+    )
+    return loss, state, metrics
+
+
+def losses_after_update(
+    params: Params,
+    cfg: Dynam3DConfig,
+    state: FieldState,
+    aux,                           # PretrainAux stacked over [V] views
+    batch,                         # PretrainBatch or WalkBatch (same fields)
+    posed: bool = False,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """The full 3DFF loss family given a folded state + per-view aux.
+
+    Shared by the posed-frames path (pretrain_step_loss) and the hm3d walk
+    path (walk_step_loss) — the reference computes the identical terms in
+    both run_on_hm3d (":1053-1111") and run_on_scannet (":1263-1340").
+    """
+    f = cfg.fields
+    V = aux.base.seg_active.shape[0]
+    S = f.max_segments
 
     act = aux.base.seg_active.reshape(-1)                      # [V*S]
     seg_fts = aux.base.seg_fts.reshape(-1, f.fts_dim)
@@ -227,7 +249,7 @@ def pretrain_step_loss(
         "lang_loss": lang_loss,
         "text_loss": text_loss,
     }
-    return loss, state, metrics
+    return loss, metrics
 
 
 def make_pretrain_optimizer(cfg: Dynam3DConfig) -> optax.GradientTransformation:
@@ -270,6 +292,137 @@ def make_pretrain_step(cfg: Dynam3DConfig, optimizer, posed: bool = False):
         return new_tr, new_opt, new_state, metrics
 
     return step
+
+
+class WalkBatch(NamedTuple):
+    """One hm3d walk step's device inputs (single episode element)."""
+
+    rgb12: jnp.ndarray           # [12,Hc,Wc,3] u8 panorama, ccw sensor order
+    depth12: jnp.ndarray         # [12,Hd,Wd] normalized depth
+    position: jnp.ndarray        # [3] habitat-frame agent position
+    heading: jnp.ndarray         # [] agent heading
+    gt_xyz: jnp.ndarray          # [G,3] scene gt point cloud (world)
+    gt_label: jnp.ndarray        # [G]
+    gt_valid: jnp.ndarray        # [G]
+    novel_position: jnp.ndarray  # [Nv,3] world-frame sampled camera positions
+    novel_heading: jnp.ndarray   # [Nv]
+    novel_gt_fts: jnp.ndarray    # [Nv,R,D] pooled CLIP targets of the views
+    cat_embeddings: jnp.ndarray  # [C,D]
+    gtid_to_cat: jnp.ndarray     # [L]
+    gtid_text_fts: jnp.ndarray   # [L,D]
+    gtid_text_valid: jnp.ndarray  # [L]
+    use_labels: jnp.ndarray      # scalar bool
+
+
+class _LossInputs(NamedTuple):
+    """Duck-typed view of PretrainBatch for losses_after_update."""
+
+    cls_fts: Any
+    novel_position: Any
+    novel_heading: Any
+    novel_gt_fts: Any
+    gt_xyz: Any
+    gt_label: Any
+    gt_valid: Any
+    cat_embeddings: Any
+    gtid_to_cat: Any
+    gtid_text_fts: Any
+    gtid_text_valid: Any
+    use_labels: Any
+    novel_k: Any = None
+    novel_rot: Any = None
+    novel_trans: Any = None
+
+
+def walk_step_loss(
+    params: Params,
+    cfg: Dynam3DConfig,
+    state: FieldState,             # batched [1, ...]
+    batch: WalkBatch,
+) -> Tuple[jnp.ndarray, FieldState, Dict[str, jnp.ndarray]]:
+    """One hm3d walk step: panorama fold + novel-view render losses.
+
+    Mirrors run_on_hm3d's per-step work (ss_trainer_3DFF.py:841-918): the
+    persisted memory is detached at entry (feature_fields.py:845-848), the
+    12-view panorama folds its 4 CLIP views in, and the losses use novel
+    views sampled by the HOST at candidate-waypoint poses (":853-876" —
+    positions/gt features arrive in the batch; the heatmap that chose them
+    came from policy_3dff.waypoint_heatmap).
+
+    INTENTIONAL DIVERGENCE: contrastive (NCE) terms normalize per step over
+    this step's rays/instances; the reference concatenates all steps of the
+    episode into one NCE matrix (":1056-1099").  Per-step NCE + gradient
+    accumulation keeps each device program static-shaped.
+    """
+    from dynam3d_tpu.models.policy_3dff import perceive_panorama
+
+    state = jax.lax.stop_gradient(state)
+    pp = perceive_panorama(
+        params, cfg, state,
+        batch.rgb12[None], batch.depth12[None],
+        batch.position[None], batch.heading[None],
+        gt_xyz=batch.gt_xyz[None], gt_label=batch.gt_label[None],
+        gt_valid=batch.gt_valid[None],
+        with_waypoints=False,
+    )
+    aux = jax.tree_util.tree_map(lambda x: x[0], pp.aux)
+    state1 = jax.tree_util.tree_map(lambda x: x[0], pp.state)
+
+    inputs = _LossInputs(
+        cls_fts=pp.cls_fts[0],
+        novel_position=batch.novel_position,
+        novel_heading=batch.novel_heading,
+        novel_gt_fts=batch.novel_gt_fts,
+        gt_xyz=batch.gt_xyz,
+        gt_label=batch.gt_label,
+        gt_valid=batch.gt_valid,
+        cat_embeddings=batch.cat_embeddings,
+        gtid_to_cat=batch.gtid_to_cat,
+        gtid_text_fts=batch.gtid_text_fts,
+        gtid_text_valid=batch.gtid_text_valid,
+        use_labels=batch.use_labels,
+    )
+    loss, metrics = losses_after_update(params, cfg, state1, aux, inputs)
+    new_state = jax.tree_util.tree_map(lambda x: x[None], state1)
+    return loss, new_state, metrics
+
+
+def make_walk_grad_step(cfg: Dynam3DConfig):
+    """Jitted per-step gradient: returns (grads over trainable, new_state,
+    metrics).  The driver accumulates grads across the episode and applies
+    ONE optimizer update at the end — the reference backpropagates the
+    episode-summed loss once per iteration (ss_trainer_3DFF.py:498-519)."""
+
+    def step(trainable, frozen, state, batch: WalkBatch):
+        def loss_fn(tr):
+            params = {**frozen, **tr}
+            loss, new_state, metrics = walk_step_loss(params, cfg, state, batch)
+            return loss, (new_state, metrics)
+
+        (loss, (new_state, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(trainable)
+        metrics["loss"] = loss
+        return grads, new_state, metrics
+
+    return step
+
+
+def apply_accumulated_grads(
+    optimizer, trainable, opt_state, grad_sum, n_steps: int
+):
+    """Episode-end update: mean the accumulated grads, scrub NaNs, apply
+    (the reference divides the summed loss by total_actions before its
+    single backward, ":1053", and zero-fills NaN grads, ":513-517")."""
+    import optax as _optax
+
+    grads = jax.tree_util.tree_map(lambda g: g / max(n_steps, 1), grad_sum)
+    grads = jax.tree_util.tree_map(
+        lambda g: jnp.where(jnp.isnan(g), 0.0, g), grads
+    )
+    updates, new_opt = optimizer.update(grads, opt_state, trainable)
+    new_tr = _optax.apply_updates(trainable, updates)
+    return new_tr, new_opt
 
 
 def draw_dataset_id(seed: int, iteration: int, n_datasets: int = 5) -> int:

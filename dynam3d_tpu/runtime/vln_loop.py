@@ -158,9 +158,12 @@ class VLNTrainer:
             )
             turn_w = 0.0 if ("stop" in gt or "error" in gt) else 1.0
             Tg = labels.shape[1]
+            # the policy consumes ONLY the forward view (num_of_views=1,
+            # ss_trainer_Dynam3D.py:671); a 12-view feed exists for the
+            # waypoint predictor's panorama
             batch = trainer_vln.TrainBatch(
-                rgb=jnp.asarray(obs.rgb[None]),
-                depth=jnp.asarray(obs.depth[None]),
+                rgb=jnp.asarray(obs.rgb[None, :1]),
+                depth=jnp.asarray(obs.depth[None, :1]),
                 position=jnp.asarray(obs.position[None]),
                 heading=jnp.asarray(np.float32([obs.heading])),
                 input_ids=ids,

