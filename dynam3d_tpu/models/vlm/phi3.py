@@ -160,12 +160,10 @@ def forward(
 
 
 def _lm_head(params: Params, x: jnp.ndarray) -> jnp.ndarray:
-    if isinstance(params["lm_head"], dict) and "q" in params["lm_head"]:
-        return jnp.dot(
-            x, params["lm_head"]["q"].astype(x.dtype),
-            preferred_element_type=jnp.float32,
-        ) * params["lm_head"]["s"]
-    return jnp.dot(x, params["lm_head"], preferred_element_type=jnp.float32)
+    w = params["lm_head"]
+    if isinstance(w, dict) and "q" in w:
+        return _mm(w, x, out_dtype=jnp.float32)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32)
 
 
 def decode_forward(
@@ -318,51 +316,85 @@ def init_phi3_params(key: jax.Array, cfg: Phi3Config, dtype=jnp.bfloat16) -> Par
 
 
 # ---------------------------------------------------------------------------
-# Weight-only int8 quantization (decode is HBM-bound on weight reads; int8
-# halves the bytes/token vs bf16).  Per-output-channel symmetric scales; the
-# dequantize folds into the matmul under XLA.
+# Weight-only quantization (decode is HBM-bound on weight reads; int8 halves
+# the bytes/token vs bf16, int4 halves them again).  int8 uses per-output-
+# channel symmetric scales with the dequantize folded into the matmul by XLA.
+# int4 (``bits=4``) additionally packs two nibbles per int8 byte and decodes
+# through the Pallas unpack-in-VMEM matvec (ops/pallas_int4.py); the int8
+# copy is kept alongside for the prefill (many-row) regime where the matmul
+# is MXU-bound and XLA's fused int8->bf16 convert is already optimal.
 # ---------------------------------------------------------------------------
-def quantize_phi3(params: Params) -> Params:
-    """bf16/f32 Phi-3 params -> int8 weights + f32 per-column scales.
+def quantize_phi3(params: Params, bits: int = 8, consume: bool = False) -> Params:
+    """bf16/f32 Phi-3 params -> int8 (+ optionally packed int4) weights.
 
     Norm weights and embeddings stay un-quantized (embeddings are gathered,
     not streamed; norms are tiny).
+
+    ``consume=True`` drops each source weight as soon as its quantized form
+    exists (the input dict is emptied): at Phi-3-mini dims, bf16 source
+    (7.4 GB) + int8 (3.7 GB) + int4 pack (1.9 GB) held simultaneously
+    exceeds the v5e's 16 GB HBM.
     """
+    if bits not in (4, 8):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
 
     def q(w):
         wf = w.astype(jnp.float32)
         scale = jnp.max(jnp.abs(wf), axis=0, keepdims=True) / 127.0
         scale = jnp.maximum(scale, 1e-8)
-        return {
+        out = {
             "q": jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8),
             "s": scale.astype(jnp.float32),
         }
+        if bits == 4:
+            from dynam3d_tpu.ops.pallas_int4 import pack_int4
+
+            out["q4"] = pack_int4(wf)
+        return out
+
+    def q_weight(lp, name):
+        out = q(lp[name])
+        if consume:
+            del lp[name]
+        return out
 
     layers = []
     for lp in params["layers"]:
         layers.append(
             {
                 "input_ln": lp["input_ln"],
-                "qkv": q(lp["qkv"]),
-                "o": q(lp["o"]),
+                "qkv": q_weight(lp, "qkv"),
+                "o": q_weight(lp, "o"),
                 "post_ln": lp["post_ln"],
-                "gate_up": q(lp["gate_up"]),
-                "down": q(lp["down"]),
+                "gate_up": q_weight(lp, "gate_up"),
+                "down": q_weight(lp, "down"),
             }
         )
     return {
         "embed_tokens": params["embed_tokens"],
         "layers": layers,
         "final_ln": params["final_ln"],
-        "lm_head": q(params["lm_head"]),
+        "lm_head": q_weight(params, "lm_head"),
     }
 
 
-def _mm(w, x: jnp.ndarray) -> jnp.ndarray:
-    """Matmul against either a dense weight or an int8 {q, s} pack."""
+def _mm(w, x: jnp.ndarray, out_dtype=None) -> jnp.ndarray:
+    """Matmul against a dense weight, an int8 ``{q, s}`` pack, or (when a
+    packed ``q4`` rides alongside and the row count is in the matvec regime)
+    the int4 Pallas path.  Decode runs one token per pass, so its matmuls are
+    row-count <= batch and HBM-bound — exactly where int4 pays; prefill rows
+    (B*bucket) stay on the int8/XLA path."""
+    out_dtype = out_dtype or x.dtype
     if isinstance(w, dict) and "q" in w:
+        rows = 1
+        for s in x.shape[:-1]:
+            rows *= s
+        if "q4" in w and rows <= 16:
+            from dynam3d_tpu.ops.pallas_int4 import int4_matmul
+
+            return int4_matmul(x, w["q4"], out_dtype=out_dtype)
         y = jnp.dot(
             x, w["q"].astype(x.dtype), preferred_element_type=jnp.float32
         )
-        return (y * w["s"]).astype(x.dtype)
-    return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+        return (y * w["s"]).astype(out_dtype)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(out_dtype)

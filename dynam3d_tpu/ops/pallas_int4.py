@@ -1,0 +1,217 @@
+"""Pallas TPU kernel: int4 weight-only matvec with unpack-in-VMEM.
+
+Greedy decode is HBM-bound on weight reads (docs/BENCH_NOTES.md): at Phi-3
+dims every generated token streams ~3.7 G parameters.  int8 halves the
+bytes/token vs bf16; int4 halves them again — but ``jnp.int4`` arrays cannot
+cross ``device_put`` on this backend (relayout recursion; see BENCH_NOTES),
+so 4-bit storage has to be two-nibbles-per-int8 with the unpack done on-chip.
+XLA would materialize the unpacked bf16 weights in HBM between the convert
+and the dot, forfeiting the bandwidth win; this kernel unpacks inside VMEM so
+HBM only ever sees the packed bytes.
+
+Layout (``pack_int4``):
+  - weight ``W[D, N]`` is padded to ``Dp = ceil(D/dblk)*dblk``,
+    ``Np = ceil(N/(2*nblk))*2*nblk`` and split column-wise into halves
+    ``lo = W[:, :Np/2]``, ``hi = W[:, Np/2:]``.
+  - byte ``q4[d, n]`` carries ``lo[d, n]`` in bits 0-3 and ``hi[d, n]`` in
+    bits 4-7 (both signed, range [-7, 7]).
+  - scales are per (row-group, column): ``s_lo/s_hi[g, n]`` with group size
+    ``dblk`` along D.  Group-wise scales cost nothing at matvec time — the
+    partial product of each D-chunk is scaled *after* the matmul
+    (``y[b,n] = sum_g s[g,n] * sum_{d in g} x[b,d] q[d,n]``), so the VPU
+    scales a ``[B, nblk]`` tile instead of a ``[dblk, nblk]`` weight tile.
+
+Kernel structure: grid over column blocks of the packed array; each program
+streams its ``[Dp, nblk]`` int8 block HBM->VMEM (auto double-buffered by the
+grid pipeline), unpacks chunk-by-chunk with int32 shifts, and runs two
+``[B, dblk] @ [dblk, nblk]`` MXU matmuls per chunk (lo and hi halves).
+Accumulation is f32.
+
+The reference runs decode through HF ``llava.generate``
+(Policy_Dynam3D_VLN.py:463) in fp16 — quantized serving entirely replaces
+that path rather than translating it.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@jax.tree_util.register_pytree_node_class
+class Int4Weight:
+    """Packed int4 weight: ``q4`` int8 ``[Dp, Np/2]`` (two nibbles/byte),
+    ``s_lo``/``s_hi`` f32 ``[Dp/dblk, Np/2]`` group-wise scales.  ``d``/``n``
+    (the unpadded shape) and the block sizes ride as static aux data so the
+    matmul can slice the padding off under ``jit``."""
+
+    def __init__(self, q4, s_lo, s_hi, d: int, n: int, dblk: int, nblk: int):
+        self.q4 = q4
+        self.s_lo = s_lo
+        self.s_hi = s_hi
+        self.d = d
+        self.n = n
+        self.dblk = dblk
+        self.nblk = nblk
+
+    def tree_flatten(self):
+        return (self.q4, self.s_lo, self.s_hi), (
+            self.d, self.n, self.dblk, self.nblk
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves, *aux)
+
+
+def pack_int4(w: jnp.ndarray, dblk: int = 1024, nblk: int = 512) -> Int4Weight:
+    """Quantize ``w [D, N]`` to packed int4 with group-``dblk`` scales.
+
+    Block defaults come from an on-chip sweep at the Phi-3 gate_up shape
+    (3072x16384, v5e): dblk=1024/nblk=512 measured 40.9 us/matvec = 616 GB/s
+    effective HBM read (75% of peak), vs 87 us for the XLA int8 matvec —
+    smaller dblk pays more VPU unpack overhead per chunk, larger nblk
+    lengthens the pipeline stages past the sweet spot."""
+    d, n = w.shape
+    dp, np_ = _round_up(d, dblk), _round_up(n, 2 * nblk)
+    wf = jnp.asarray(w, jnp.float32)
+    wf = jnp.pad(wf, ((0, dp - d), (0, np_ - n)))
+    g = dp // dblk
+    grp = wf.reshape(g, dblk, np_)
+    scale = jnp.max(jnp.abs(grp), axis=1) / 7.0          # [G, Np]
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(
+        jnp.round(grp / scale[:, None, :]), -7, 7
+    ).astype(jnp.int32).reshape(dp, np_)
+    n2 = np_ // 2
+    lo, hi = q[:, :n2], q[:, n2:]
+    packed = ((hi & 0xF) << 4) | (lo & 0xF)              # 0..255 in int32
+    packed = jnp.where(packed >= 128, packed - 256, packed).astype(jnp.int8)
+    return Int4Weight(
+        packed, scale[:, :n2], scale[:, n2:], d, n, dblk, nblk
+    )
+
+
+def _unpack_i32(q: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """int8 packed -> (lo, hi) sign-extended int32 nibbles."""
+    qi = q.astype(jnp.int32)
+    lo = (qi << 28) >> 28
+    hi = (qi << 24) >> 28
+    return lo, hi
+
+
+def _kernel(x_ref, q_ref, sl_ref, sh_ref, out_ref, *, dblk: int):
+    """One column block: x [Bp, Dp] @ unpack(q [Dp, nblk]) -> out [2, Bp, nblk]."""
+    bp = x_ref.shape[0]
+    nb = q_ref.shape[1]
+    g = sl_ref.shape[0]
+
+    def chunk(i, carry):
+        acc_lo, acc_hi = carry
+        q = q_ref[pl.ds(i * dblk, dblk), :]
+        lo, hi = _unpack_i32(q)
+        xc = x_ref[:, pl.ds(i * dblk, dblk)]
+        p_lo = jnp.dot(
+            xc, lo.astype(xc.dtype), preferred_element_type=jnp.float32
+        )
+        p_hi = jnp.dot(
+            xc, hi.astype(xc.dtype), preferred_element_type=jnp.float32
+        )
+        acc_lo = acc_lo + p_lo * sl_ref[pl.ds(i, 1), :]
+        acc_hi = acc_hi + p_hi * sh_ref[pl.ds(i, 1), :]
+        return acc_lo, acc_hi
+
+    z = jnp.zeros((bp, nb), jnp.float32)
+    acc_lo, acc_hi = jax.lax.fori_loop(0, g, chunk, (z, z))
+    out_ref[0] = acc_lo
+    out_ref[1] = acc_hi
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_int4_matmul(
+    xp: jnp.ndarray, w: Int4Weight, interpret: bool = False
+) -> jnp.ndarray:
+    """xp [Bp, Dp] bf16 (padded) -> [Bp, Np] f32 (padded, halves concatenated)."""
+    bp, dp = xp.shape
+    n2 = w.q4.shape[1]
+    g = w.s_lo.shape[0]
+    nblk = min(w.nblk, n2)
+    out = pl.pallas_call(
+        functools.partial(_kernel, dblk=w.dblk),
+        grid=(n2 // nblk,),
+        in_specs=[
+            pl.BlockSpec((bp, dp), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp, nblk), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, nblk), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, nblk), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, bp, nblk), lambda j: (0, 0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, bp, n2), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bp * dp * n2,
+            bytes_accessed=dp * n2 + bp * dp * 2 + 2 * bp * n2 * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
+    )(xp, w.q4, w.s_lo, w.s_hi)
+    return jnp.concatenate([out[0], out[1]], axis=-1)
+
+
+def _xla_int4_matmul(xp: jnp.ndarray, w: Int4Weight) -> jnp.ndarray:
+    """Fallback (CPU tests / non-TPU): dequantize then matmul.  Materializes
+    the bf16 weights, so it carries none of the bandwidth win."""
+    lo, hi = _unpack_i32(w.q4)
+    g, dblk = w.s_lo.shape[0], w.dblk
+    n2 = w.q4.shape[1]
+
+    def deq(q, s):
+        qf = q.reshape(g, dblk, n2).astype(jnp.float32)
+        return (qf * s[:, None, :]).reshape(g * dblk, n2)
+
+    wf = jnp.concatenate([deq(lo, w.s_lo), deq(hi, w.s_hi)], axis=-1)
+    return jnp.dot(
+        xp, wf.astype(xp.dtype), preferred_element_type=jnp.float32
+    )
+
+
+def int4_matmul(x: jnp.ndarray, w: Int4Weight, out_dtype=None) -> jnp.ndarray:
+    """``x [..., D] @ W[D, N]`` against a packed int4 weight.
+
+    Dispatches to the Pallas kernel on TPU when the flattened row count is
+    small (the matvec/decode regime it is tiled for); otherwise the XLA
+    dequantize fallback.  Output dtype follows ``x`` unless overridden
+    (accumulation is f32 either way).
+    """
+    lead = x.shape[:-1]
+    d = x.shape[-1]
+    rows = int(np.prod(lead)) if lead else 1
+    xp = x.reshape(rows, d).astype(jnp.bfloat16)
+    dp = w.q4.shape[0]
+    bp = _round_up(max(rows, 1), 16)
+    xp = jnp.pad(xp, ((0, bp - rows), (0, dp - d)))
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and rows <= 16
+        and not os.environ.get("DYNAM3D_DISABLE_PALLAS")
+    )
+    if use_pallas:
+        y = _pallas_int4_matmul(xp, w)
+    else:
+        y = _xla_int4_matmul(xp, w)
+    return y[:rows, : w.n].reshape(*lead, w.n).astype(out_dtype or x.dtype)

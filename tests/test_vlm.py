@@ -174,6 +174,74 @@ def test_teacher_targets_keep_waypoint():
     assert stop
 
 
+def test_quantized_decode_greedy_match(params):
+    """int8 weight-only decode preserves greedy tokens vs fp on the tiny
+    config, and the packed-int4 decode path tracks fp logits teacher-forced
+    through ``decode_forward`` (argmax equality is not meaningful for 4-bit
+    weights on random tiny weights: the vocab-512 logits are near-uniform, so
+    any quantization flips ties — real checkpoints have peaked logits)."""
+    B, T = 2, 12
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(0, 300, size=(B, T)))
+    valid = jnp.ones((B, T), bool)
+    emb = phi3.embed(params, ids)
+    gen_fp = np.asarray(phi3.greedy_decode(params, TINY, emb, valid, 4))
+    p8 = phi3.quantize_phi3(params)
+    gen8 = np.asarray(phi3.greedy_decode(p8, TINY, emb, valid, 4))
+    np.testing.assert_array_equal(gen8, gen_fp)
+
+    # int4: teacher-forced decode_forward, logits within the 4-bit budget
+    p4 = phi3.quantize_phi3(params, bits=4)
+    assert "q4" in p4["layers"][0]["qkv"]
+    total = T + 3
+    pos0 = jnp.tile(jnp.arange(T), (B, 1))
+    mask0 = phi3.prefill_mask(valid, total)
+
+    def run(p):
+        cache = phi3.init_cache(TINY, B, total, dtype=emb.dtype)
+        logits, cache = phi3.forward(p, TINY, emb, pos0, cache, 0, mask0)
+        outs = [logits[:, -1]]
+        v = jnp.concatenate([valid, jnp.zeros((B, 3), bool)], 1)
+        for j in range(3):
+            tok = jnp.asarray(rng.integers(0, 300, size=(B,)))  # shared seq
+            e = phi3.embed(p, tok)[:, None, :]
+            v = v.at[:, T + j].set(True)
+            l, cache = phi3.decode_forward(
+                p, TINY, e, jnp.full((B, 1), T + j), cache, T + j, v[:, None, :]
+            )
+            outs.append(l[:, 0])
+        return jnp.stack(outs)
+
+    rng = np.random.default_rng(7)
+    l_fp = run(params)
+    rng = np.random.default_rng(7)
+    l_4 = run(p4)
+    scale = float(jnp.abs(l_fp).max())
+    err = float(jnp.abs(l_4 - l_fp).max())
+    assert err < 0.15 * scale, (err, scale)
+
+
+def test_int4_prefill_logits_close(params):
+    """The int4 pack's dequantized prefill logits track fp within the int4
+    quantization budget (sanity on scales/packing through the full stack)."""
+    B, T = 1, 8
+    rng = np.random.default_rng(4)
+    ids = jnp.asarray(rng.integers(0, 300, size=(B, T)))
+    valid = jnp.ones((B, T), bool)
+    emb = phi3.embed(params, ids)
+    cache = phi3.init_cache(TINY, B, T, dtype=emb.dtype)
+    pos = jnp.tile(jnp.arange(T), (B, 1))
+    mask = phi3.prefill_mask(valid, T)
+    l_fp, _ = phi3.forward(params, TINY, emb, pos, cache, 0, mask)
+    p4 = phi3.quantize_phi3(params, bits=4)
+    l_4, _ = phi3.forward(p4, TINY, emb, pos, cache, 0, mask)
+    scale = float(jnp.abs(l_fp).max())
+    err = float(jnp.abs(l_4 - l_fp).max())
+    # loose: at hidden_size 64 the quantization noise has few terms to
+    # average over, so the relative budget is far wider than at real dims
+    assert err < 0.25 * scale, (err, scale)
+
+
 def test_decode_forward_matches_forward():
     """The stacked-cache decode pass is numerically identical to the
     layer-list forward pass for a single appended token."""
