@@ -136,6 +136,132 @@ def render_bench():
     }))
 
 
+def _llm_flops_bytes(phi3_params, cfg):
+    """(params_count, decode_bytes_per_token) of the LLM from actual arrays.
+
+    decode bytes = what one token pass streams from HBM: the quantized (or
+    bf16) weights once, plus nothing else material (the KV-cache read is
+    added by the caller, it depends on context length)."""
+    n_params = 0
+    n_bytes = 0
+
+    def add(w):
+        nonlocal n_params, n_bytes
+        if isinstance(w, dict) and "q" in w:
+            if "q4" in w:
+                p = w["q4"]
+                n_params += int(p.q4.size) * 2
+                n_bytes += int(p.q4.size) + 4 * int(p.s_lo.size) * 2
+            else:
+                n_params += int(w["q"].size)
+                n_bytes += int(w["q"].size)
+        else:
+            n_params += int(w.size)
+            n_bytes += int(w.size) * w.dtype.itemsize
+
+    for lp in phi3_params["layers"]:
+        for k in ("qkv", "o", "gate_up", "down"):
+            add(lp[k])
+    add(phi3_params["lm_head"])
+    return n_params, n_bytes
+
+
+def _phase_breakdown(runner, params, cfg, state, obs, hist, rep, B, steps=6):
+    """Time perceive / prefill / decode as separate programs and derive
+    MFU + HBM-utilization figures (VERDICT r1 item 5).
+
+    Figures include the per-dispatch tunnel RTT; ``rtt_ms`` (a trivial
+    dispatch) is reported alongside so the on-chip share can be read off.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from dynam3d_tpu.models.vlm import llava as llava_mod
+    from dynam3d_tpu.models.vlm import phi3 as phi3_mod
+
+    splice = runner.splice_start
+    p3 = cfg.llava.phi3
+    new_tok = cfg.llava.max_new_tokens
+
+    def prefill_only(p, ids, tv, mm, mv):
+        emb = llava_mod.splice_embeds(p["llava"], cfg.llava, ids, mm, splice)
+        av = jax.lax.dynamic_update_slice(tv, mv, (0, splice))
+        T = emb.shape[1]
+        cache = phi3_mod.init_cache(p3, emb.shape[0], T + new_tok, emb.dtype)
+        pos = jnp.maximum(jnp.cumsum(av.astype(jnp.int32), 1) - 1, 0)
+        mask = phi3_mod.prefill_mask(av, T + new_tok)
+        logits, _ = phi3_mod.forward(p["llava"]["phi3"], p3, emb, pos, cache, 0, mask)
+        last = jnp.sum(av.astype(jnp.int32), 1) - 1
+        return jnp.argmax(logits[jnp.arange(emb.shape[0]), last], -1)
+
+    pf = jax.jit(prefill_only)
+    triv = jax.jit(lambda x: x + 1.0)
+
+    rgb, depth = rep(obs.rgb), rep(obs.depth)
+    pos, hd = rep(obs.position), jnp.asarray(
+        np.full((B,), obs.heading, np.float32)
+    )
+    ids, tvalid, _ = runner._prompt_ids([obs.instruction] * B, [hist] * B)
+    out = runner._perceive(params, state, rgb, depth, pos, hd)
+    _sync(out.mm_valid)
+    # warm compiles
+    _sync(pf(params, ids, tvalid, out.mm_tokens, out.mm_valid))
+    gen = runner._generate(params, ids, tvalid, out.mm_tokens, out.mm_valid)
+    _sync(gen)
+    _sync(triv(hd))
+
+    def t(fn):
+        ts = []
+        for _ in range(steps):
+            t0 = time.time()
+            _sync(fn())
+            ts.append(time.time() - t0)
+        return float(np.percentile(ts, 50) * 1000.0)
+
+    rtt = t(lambda: triv(hd))
+    perceive_ms = t(
+        lambda: runner._perceive(params, state, rgb, depth, pos, hd).mm_valid
+    )
+    prefill_ms = t(lambda: pf(params, ids, tvalid, out.mm_tokens, out.mm_valid))
+    generate_ms = t(
+        lambda: runner._generate(params, ids, tvalid, out.mm_tokens, out.mm_valid)
+    )
+    decode_ms = max(generate_ms - prefill_ms, 0.0)
+
+    # tokens actually generated (random weights usually never emit stop)
+    gen_np = np.asarray(gen)
+    n_tok = int(
+        np.max(np.sum(gen_np != p3.pad_token_id, axis=1).clip(min=1))
+    )
+    n_valid = int(np.asarray(jnp.sum(tvalid)))
+    n_params, dec_bytes = _llm_flops_bytes(params["llava"]["phi3"], cfg)
+    T_total = int(ids.shape[1]) + new_tok
+    kv_bytes = (
+        2 * p3.num_layers * T_total * p3.num_kv_heads * p3.head_dim * 2
+    )
+    prefill_flops = 2 * n_valid * n_params + 4 * p3.num_layers * (
+        n_valid * n_valid * p3.hidden_size
+    )
+    peak_flops = 197e12  # v5e bf16
+    peak_bw = 819e9      # v5e HBM
+    pf_net = max(prefill_ms - rtt, 1e-3)
+    dec_per_tok = decode_ms / max(n_tok, 1)
+    return {
+        "rtt_ms": round(rtt, 2),
+        "perceive_ms": round(perceive_ms, 2),
+        "prefill_ms": round(prefill_ms, 2),
+        "decode_ms": round(decode_ms, 2),
+        "decode_ms_per_tok": round(dec_per_tok, 3),
+        "decode_tokens": n_tok,
+        "prompt_tokens": n_valid,
+        "llm_params_m": round(n_params / 1e6, 1),
+        "prefill_mfu_pct": round(100 * prefill_flops / (pf_net / 1e3) / peak_flops, 1),
+        "decode_hbm_pct": round(
+            100 * (dec_bytes + kv_bytes) / (dec_per_tok / 1e3) / peak_bw, 1
+        ),
+    }
+
+
 def main():
     import jax
 
@@ -168,13 +294,19 @@ def main():
         )
 
     params = policy_mod.init_policy_params(jax.random.PRNGKey(0), cfg)
-    # int8 weight-only decode is the default serving configuration (greedy
-    # tokens match bf16; docs/BENCH_NOTES.md); disable with =0
-    int8 = os.environ.get("DYNAM3D_INT8_DECODE", "1") not in ("0", "false")
-    if int8:
+    # Weight-only quantized decode is the default serving configuration
+    # (docs/BENCH_NOTES.md).  DYNAM3D_QUANT_BITS: 4 = packed-int4 decode via
+    # the Pallas unpack-in-VMEM matvec (+ int8 prefill), 8 = int8 everywhere,
+    # 0 = bf16.  DYNAM3D_INT8_DECODE=0 kept as a bf16 alias.
+    bits = int(os.environ.get("DYNAM3D_QUANT_BITS", "4"))
+    if os.environ.get("DYNAM3D_INT8_DECODE", "1") in ("0", "false"):
+        bits = 0
+    if bits:
         from dynam3d_tpu.models.vlm.phi3 import quantize_phi3
 
-        params["llava"]["phi3"] = quantize_phi3(params["llava"]["phi3"])
+        params["llava"]["phi3"] = quantize_phi3(
+            params["llava"]["phi3"], bits=bits, consume=True
+        )
     runner = EpisodeRunner(params, cfg)
     rgb_size = cfg.clip.image_size
     depth_size = 256 if scale == "full" else 32
@@ -236,6 +368,15 @@ def main():
         if base.get("p50_step_latency_ms"):
             vs = float(base["p50_step_latency_ms"]) / p50_ms
 
+    breakdown = {}
+    if os.environ.get("DYNAM3D_BENCH_BREAKDOWN", "1") not in ("0", "false"):
+        try:
+            breakdown = _phase_breakdown(
+                runner, params, cfg, st, obs, hist, rep, B
+            )
+        except Exception as e:  # pragma: no cover - diagnostics only
+            breakdown = {"breakdown_error": str(e)[:200]}
+
     print(
         json.dumps(
             {
@@ -252,8 +393,9 @@ def main():
                     "backend": jax.default_backend(),
                     "steps": steps,
                     "batch": B,
-                    "int8_decode": int8,
+                    "quant_bits": bits,
                     "segmenter": cfg.segmenter.provider,
+                    **breakdown,
                 },
             }
         )
