@@ -208,6 +208,9 @@ class TrainConfig:
                                     # trainer, active in pretrain dispatch)
     max_text_len: int = 2000        # instruction char cap (iter_train.yaml:42)
     recycle_every: int = 20         # env rebuild cadence (":577-587")
+    use_waypoint_predictor: bool = True  # frozen TRM candidates, the
+                                    # reference's always-on teacher path
+                                    # (ss_trainer_Dynam3D.py:636-640)
 
 
 @dataclass(frozen=True)

@@ -89,11 +89,22 @@ def main(argv=None) -> None:
     def feed_factory():
         return SyntheticRoomFeed(seed=random.randint(0, 1 << 30))
 
+    def train_feed_factory():
+        # 12-view depth panorama at the depth-encoder input size for the
+        # frozen waypoint predictor (the reference's pano candidates,
+        # ss_trainer_Dynam3D.py:636-640); the policy consumes view 0 only
+        return SyntheticRoomFeed(
+            views=12, depth_size=cfg.depth.input_size,
+            seed=random.randint(0, 1 << 30),
+        )
+
     if args.trainer == "Dynam3D":
         from dynam3d_tpu.runtime.vln_loop import VLNTrainer, evaluate, inference
 
         if args.run_type == "train":
-            trainer = VLNTrainer(params, cfg, feed_factory, rank=rank, world=world)
+            trainer = VLNTrainer(
+                params, cfg, train_feed_factory, rank=rank, world=world
+            )
             start = trainer.resume(ckpt_dir) if cfg.train.is_requeue else 0
             trainer.train(cfg.train.iters - start, ckpt_dir=ckpt_dir)
         elif args.run_type == "eval":

@@ -84,7 +84,34 @@ class VLNTrainer:
         )
         # frozen waypoint predictor path (used when the feed provides the
         # 12-view depth panorama, as the reference does at
-        # ss_trainer_Dynam3D.py:636-640); geometric candidates otherwise
+        # ss_trainer_Dynam3D.py:636-640); geometric candidates otherwise.
+        # Default-initialized when not passed (the reference always loads
+        # one, main.bash WP_CKPT; production converts the torch checkpoint
+        # via checkpoint.waypoint_params_from_torch).
+        if (
+            waypoint_params is None
+            and depth_enc_params is None
+            and cfg.train.use_waypoint_predictor
+        ):
+            from dynam3d_tpu.models.encoders.depth_resnet import (
+                encode_depth, init_depth_params,
+            )
+            from dynam3d_tpu.models.waypoint.trm import init_waypoint_params
+
+            k = jax.random.PRNGKey(cfg.train.seed + 17)
+            kw, kd = jax.random.split(k)
+            depth_enc_params = init_depth_params(kd, cfg.depth)
+            feat = jax.eval_shape(
+                lambda p, d: encode_depth(p, cfg.depth, d),
+                depth_enc_params,
+                jax.ShapeDtypeStruct(
+                    (1, cfg.depth.input_size, cfg.depth.input_size, 1),
+                    jnp.float32,
+                ),
+            )
+            waypoint_params = init_waypoint_params(
+                kw, cfg.waypoint, depth_feat_dim=feat.shape[-1]
+            )
         self.waypoint_params = waypoint_params
         self.depth_enc_params = depth_enc_params
         if waypoint_params is not None and depth_enc_params is not None:

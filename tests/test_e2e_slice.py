@@ -9,11 +9,13 @@ import pytest
 
 from dynam3d_tpu.config import (
     CLIPConfig,
+    DepthEncoderConfig,
     Dynam3DConfig,
     FieldsConfig,
     LLaVAConfig,
     Phi3Config,
     SegmenterConfig,
+    WaypointConfig,
 )
 from dynam3d_tpu.models import policy as policy_mod
 from dynam3d_tpu.runtime.episode import EpisodeRunner
@@ -47,6 +49,14 @@ def tiny_config() -> Dynam3DConfig:
         segmenter=SegmenterConfig(
             provider="yolov8", imgsz=32, width_mult=0.125, depth_mult=0.34,
             num_protos=8, max_masks=8,
+        ),
+        # tiny frozen waypoint pipeline so the trainer's default-on
+        # candidate path (VLNTrainer.__init__) stays cheap on CPU
+        depth=DepthEncoderConfig(
+            input_size=64, output_size=32, base_planes=8, ngroups=4
+        ),
+        waypoint=WaypointConfig(
+            hidden_dim=64, trm_layers=1, num_attention_heads=4
         ),
     )
 

@@ -126,22 +126,19 @@ def test_run_interleaved_matches_run(setup):
 
 
 def test_waypoint_predictor_candidates_wiring(setup):
+    """The waypoint pipeline is ON by default (the reference always loads
+    one, main.bash WP_CKPT): a bare VLNTrainer self-initializes the frozen
+    depth-enc + TRM and uses it whenever the feed provides a 12-view pano."""
     import dataclasses
-    import jax as _jax
-    from dynam3d_tpu.config import DepthEncoderConfig
-    from dynam3d_tpu.models.encoders.depth_resnet import init_depth_params
-    from dynam3d_tpu.models.waypoint.trm import init_waypoint_params
+
     from dynam3d_tpu.runtime.vln_loop import VLNTrainer
 
     cfg, params = setup
-    cfg = dataclasses.replace(cfg, depth=DepthEncoderConfig(input_size=64))
-    wp = init_waypoint_params(_jax.random.PRNGKey(1), cfg.waypoint, depth_feat_dim=128)
-    de = init_depth_params(_jax.random.PRNGKey(2), cfg.depth)
-    trainer = VLNTrainer(
-        params, cfg, lambda: _feed(0),
-        waypoint_params=wp, depth_enc_params=de,
+    trainer = VLNTrainer(params, cfg, lambda: _feed(0))
+    assert trainer._waypoint_fn is not None, "default waypoint path missing"
+    feed12 = SyntheticRoomFeed(
+        rgb_size=56, depth_size=cfg.depth.input_size, views=12, seed=0
     )
-    feed12 = SyntheticRoomFeed(rgb_size=56, depth_size=64, views=12, seed=0)
     obs = feed12.reset()
     ca, cd = trainer._candidates(feed12, obs)
     assert 1 <= len(ca) <= cfg.waypoint.max_candidates
@@ -151,6 +148,12 @@ def test_waypoint_predictor_candidates_wiring(setup):
     obs1 = _feed(0).reset()
     ca2, _ = trainer._candidates(_feed(0), obs1)
     assert len(ca2) == 36
+    # opt-out flag restores the geometric-only trainer
+    cfg_off = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, use_waypoint_predictor=False)
+    )
+    t_off = VLNTrainer(params, cfg_off, lambda: _feed(0))
+    assert t_off._waypoint_fn is None
 
 
 def test_training_reduces_loss(setup):
