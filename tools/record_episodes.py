@@ -36,6 +36,9 @@ def record(feed, policy_fn, max_steps: int, out_path: str) -> int:
         obs, done, _ = feed.step(action)
         if done:
             break
+    extra = {}
+    if getattr(feed, "goal", None) is not None:
+        extra["goal"] = np.asarray(feed.goal, np.float32)
     np.savez_compressed(
         out_path,
         rgb=np.stack(rgbs),
@@ -44,6 +47,7 @@ def record(feed, policy_fn, max_steps: int, out_path: str) -> int:
         heading=np.asarray(hds, np.float32),
         instruction=obs.instruction,
         gt_locations=np.stack(poss),
+        **extra,
     )
     return len(rgbs)
 
