@@ -124,6 +124,80 @@ def test_convert_items(tmp_path):
     np.testing.assert_allclose(np.linalg.norm(q), 1.0, rtol=1e-6)
 
 
+def test_convert_items_dataset_specs(tmp_path):
+    """Per-dataset rules of the five reference converters: REVERIE's 1.25 m
+    camera-height subtraction + per-instruction expansion + mp3d scene ids,
+    NavRAG-train's HM3D-only + scene cap, ScaleVLN's no-quality-filter, and
+    disjoint episode-id bases."""
+    scan = _write_connectivity(tmp_path)           # hm3d-style ("-" in id)
+    mp3d_scan = _write_connectivity(tmp_path, "XcA2TqTSSAj")
+    base_item = {
+        "path": ["vp0", "vp1", "vp2"],
+        "heading": 0.5,
+        "instructions": ["walk to the far end", "second phrasing"],
+        "instr_encodings": [[1, 2], [3, 4]],
+    }
+
+    # REVERIE: mp3d scene id, z-1.25, one episode PER instruction, base 50000
+    eps, gts = d2c.convert_items(
+        [dict(base_item, scan=mp3d_scan)], str(tmp_path),
+        spec=d2c.DATASETS["reverie_train"],
+    )
+    assert len(eps) == 2 and eps[0]["episode_id"] == 50001
+    assert eps[0]["scene_id"] == f"mp3d/{mp3d_scan}/{mp3d_scan}.glb"
+    np.testing.assert_allclose(eps[0]["start_position"], [0.0, 1.5 - 1.25, 0.0])
+    assert eps[1]["instruction"]["instruction_text"] == "second phrasing"
+    assert eps[1]["instruction"]["instruction_tokens"] == [3, 4]
+
+    # NavRAG train: skips MP3D scans entirely, first instruction only,
+    # hm3d scene id, no height offset, base 500000, scene cap honored
+    items = [dict(base_item, scan=mp3d_scan)] + [
+        dict(base_item, scan=scan) for _ in range(4)
+    ]
+    spec = d2c.DATASETS["navrag_train"]
+    eps, _ = d2c.convert_items(
+        items, str(tmp_path),
+        spec=d2c.DatasetSpec(**{
+            **dataclasses_asdict(spec), "scene_cap": 2,
+        }),
+    )
+    assert len(eps) == 2  # mp3d skipped, cap=2
+    assert all(e["scene_id"].startswith("hm3d/train/") for e in eps)
+    assert eps[0]["episode_id"] == 500001
+    np.testing.assert_allclose(eps[0]["start_position"], [0.0, 1.5, 0.0])
+
+    # ScaleVLN: same geometry as NavRAG but NO quality filter (a 30-word
+    # instruction survives), base 100000
+    long_item = dict(
+        base_item, scan=scan, instructions=[" ".join(["w"] * 30)],
+        instr_encodings=[[9]],
+    )
+    eps, _ = d2c.convert_items(
+        [long_item], str(tmp_path), spec=d2c.DATASETS["scalevln_train"]
+    )
+    assert len(eps) == 1 and eps[0]["episode_id"] == 100001
+    eps, _ = d2c.convert_items(
+        [long_item], str(tmp_path), spec=d2c.DATASETS["navrag_train"]
+    )
+    assert len(eps) == 0  # filtered by the 25-word rule
+
+    # per-scene output sharding for train specs
+    eps, gts = d2c.convert_items(
+        [dict(base_item, scan=mp3d_scan)], str(tmp_path),
+        spec=d2c.DATASETS["reverie_train"],
+    )
+    out_dir = tmp_path / "shards"
+    d2c.write_outputs(eps, gts, str(out_dir), str(tmp_path / "gt.json"), True)
+    assert (out_dir / f"{mp3d_scan}.glb.json").exists()
+    assert json.load(open(tmp_path / "gt.json"))
+
+
+def dataclasses_asdict(spec):
+    import dataclasses as _dc
+
+    return _dc.asdict(spec)
+
+
 def test_graph_geodesic_disconnected(tmp_path):
     scan = _write_connectivity(tmp_path)
     pos = d2c.load_connectivity(str(tmp_path), scan)
