@@ -83,7 +83,6 @@ def main(argv=None) -> None:
     from dynam3d_tpu.models import policy as policy_mod
     from dynam3d_tpu.runtime.feed import SyntheticRoomFeed
 
-    params = policy_mod.init_policy_params(jax.random.PRNGKey(cfg.train.seed), cfg)
     ckpt_dir = args.ckpt_dir or cfg.train.ckpt_dir
 
     def feed_factory():
@@ -101,6 +100,9 @@ def main(argv=None) -> None:
     if args.trainer == "Dynam3D":
         from dynam3d_tpu.runtime.vln_loop import VLNTrainer, evaluate, inference
 
+        params = policy_mod.init_policy_params(
+            jax.random.PRNGKey(cfg.train.seed), cfg
+        )
         if args.run_type == "train":
             trainer = VLNTrainer(
                 params, cfg, train_feed_factory, rank=rank, world=world
@@ -118,10 +120,67 @@ def main(argv=None) -> None:
             inference(params, cfg, feeds, [str(i) for i in range(len(feeds))],
                       out_path=f"data/eval/{args.exp_name}_preds.json",
                       rank=rank, world=world)
-    else:  # SS-ETP pretraining
-        logger.info("3DFF pretraining entry — see runtime/trainer_3dff.py; "
-                    "dataset drivers are wired through the Feed/FrameDataset "
-                    "protocols (no habitat in this image).")
+    else:  # SS-ETP pretraining (run_on_hm3d + posed-frames dispatch,
+        # ss_trainer_3DFF.py:733-1115, :2237-2258)
+        from dynam3d_tpu.models.encoders.clip import init_clip_params
+        from dynam3d_tpu.models.encoders.depth_resnet import (
+            encode_depth, init_depth_params,
+        )
+        from dynam3d_tpu.models.memory3d import init_field_params
+        from dynam3d_tpu.models.render.nerf import init_render_params
+        from dynam3d_tpu.models.waypoint.trm import init_waypoint_params
+        from dynam3d_tpu.runtime.logging import MetricsLogger
+        from dynam3d_tpu.runtime.pretrain_loop import (
+            PretrainRunner,
+            SyntheticFramesDataset,
+            WalkDriver,
+            synthetic_supervision,
+        )
+
+        key = jax.random.PRNGKey(cfg.train.seed)
+        depth_enc = init_depth_params(jax.random.fold_in(key, 3), cfg.depth)
+        feat = jax.eval_shape(
+            lambda p, d: encode_depth(p, cfg.depth, d), depth_enc,
+            jax.ShapeDtypeStruct(
+                (1, cfg.depth.input_size, cfg.depth.input_size, 1), np.float32
+            ),
+        )
+        pre_params = {
+            "fields": init_field_params(key, cfg.fields),
+            "render": init_render_params(jax.random.fold_in(key, 1), cfg.fields),
+            "clip": init_clip_params(jax.random.fold_in(key, 2), cfg.clip),
+            "depth_enc": depth_enc,
+            "waypoint": init_waypoint_params(
+                jax.random.fold_in(key, 4), cfg.waypoint,
+                depth_feat_dim=feat.shape[-1],
+            ),
+        }
+        runner = PretrainRunner(pre_params, cfg, seed=cfg.train.seed + rank)
+        walk_feed = SyntheticRoomFeed(
+            views=12, depth_size=cfg.depth.input_size,
+            seed=random.randint(0, 1 << 30),
+        )
+        # dataset mix mirrors the reference's 5-way dispatcher: one hm3d
+        # walk corpus + posed-frame corpora (real loaders in
+        # runtime/scene_datasets.py plug into the same protocol)
+        datasets = [
+            WalkDriver(
+                walk_feed,
+                synthetic_supervision(cfg.train.seed, cfg.fields.fts_dim),
+                max_len=cfg.train.pretrain_traj_len,
+                seed=cfg.train.seed + rank,
+                waypoint_aug=cfg.train.waypoint_aug,
+                teacher_prob=cfg.train.sample_ratio * 0.5,
+            ),
+            SyntheticFramesDataset(seed=cfg.train.seed),
+            SyntheticFramesDataset(seed=cfg.train.seed + 1, posed=True),
+        ]
+        mlogger = MetricsLogger(f"data/logs/{args.exp_name}")
+        runner.run(
+            datasets, iters=cfg.train.iters, logger=mlogger,
+            ckpt_dir=ckpt_dir, log_every=cfg.train.log_every,
+        )
+        mlogger.close()
 
 
 if __name__ == "__main__":

@@ -179,3 +179,41 @@ def test_runner_mixes_walk_and_frames():
     hist = runner.run([walk, frames], iters=3)
     assert len(hist) == 3
     assert all(np.isfinite(h["loss"]) for h in hist)
+
+
+def test_run_cli_ss_etp(tmp_path, monkeypatch):
+    """CLI-level SS-ETP entry (run.py): builds the pretrain param set, mixes
+    the hm3d WalkDriver with frames corpora, trains, logs, checkpoints —
+    the reference's 3dff.bash launch path end-to-end."""
+    import dataclasses
+    import json
+    import os
+
+    from dynam3d_tpu import run as run_mod
+
+    from dynam3d_tpu.config import DepthEncoderConfig, WaypointConfig
+
+    cfg = dataclasses.replace(
+        CFG,
+        train=dataclasses.replace(
+            CFG.train, iters=2, log_every=2, pretrain_traj_len=2
+        ),
+        depth=DepthEncoderConfig(
+            input_size=64, output_size=32, base_planes=8, ngroups=4
+        ),
+        waypoint=WaypointConfig(
+            hidden_dim=64, trm_layers=1, num_attention_heads=4
+        ),
+    )
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(dataclasses.asdict(cfg)))
+    monkeypatch.chdir(tmp_path)
+    run_mod.main([
+        "--run-type", "train", "--trainer", "SS-ETP", "--exp_name", "ssetp",
+        "--exp-config", str(cfg_path), "--ckpt-dir", str(tmp_path / "ck"),
+    ])
+    scalars = tmp_path / "data" / "logs" / "ssetp" / "scalars.jsonl"
+    assert scalars.exists()
+    rows = [json.loads(l) for l in scalars.read_text().splitlines()]
+    assert len(rows) >= 2
+    assert any(d.startswith("ckpt.iter") for d in os.listdir(tmp_path / "ck"))
