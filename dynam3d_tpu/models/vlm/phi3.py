@@ -101,27 +101,62 @@ def _attn_mlp(
     x = x + _mm(p["o"], o)
 
     h = rms_norm(p["post_ln"], x, cfg.rms_eps)
-    gate_up = _mm(p["gate_up"], h)
-    gate, up = jnp.split(gate_up, 2, axis=-1)
-    h = jax.nn.silu(gate) * up
-    x = x + _mm(p["down"], h)
+    x = x + _mlp(p, h)
     return x
+
+
+def _mlp(p: Params, h: jnp.ndarray) -> jnp.ndarray:
+    """SwiGLU MLP; routes decode-regime int4 weights through the fused
+    gate_up->silu*up->down Pallas kernel (one launch instead of two plus
+    XLA glue between them).  The split ``wgate/wup`` layout (TP; see
+    parallel.mesh.split_qkv_params) avoids the shard-crossing
+    ``jnp.split`` of the fused matrix."""
+    if "wgate" in p:
+        gate = _mm(p["wgate"], h)
+        up = _mm(p["wup"], h)
+        return _mm(p["down"], jax.nn.silu(gate) * up)
+    gu, dn = p["gate_up"], p["down"]
+    rows = 1
+    for s in h.shape[:-1]:
+        rows *= s
+    if (
+        isinstance(gu, dict) and "q4" in gu
+        and isinstance(dn, dict) and "q4" in dn
+        and rows <= 16
+    ):
+        from dynam3d_tpu.ops.pallas_int4 import int4_mlp
+
+        return int4_mlp(h, gu["q4"], dn["q4"], out_dtype=h.dtype)
+    gate_up = _mm(gu, h)
+    gate, up = jnp.split(gate_up, 2, axis=-1)
+    return _mm(dn, jax.nn.silu(gate) * up)
 
 
 def _qkv(
     p: Params, cfg: Phi3Config, x: jnp.ndarray, positions: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Pre-attention projections + RoPE; split out so decode can write k/v
-    into the STACKED cache before attention (in-place friendly)."""
+    into the STACKED cache before attention (in-place friendly).
+
+    Two weight layouts: the HF fused ``qkv`` (default), or split
+    ``wq/wk/wv`` (produced by ``parallel.mesh.split_qkv_params`` for TP —
+    slicing a 'tp'-column-sharded fused matrix at the q/k/v boundaries
+    crosses shard edges and makes XLA re-shard with collective-permutes;
+    separate head-aligned matrices shard cleanly with zero extra comms)."""
     B, T, _ = x.shape
     H, hd = cfg.num_heads, cfg.head_dim
     h = rms_norm(p["input_ln"], x, cfg.rms_eps)
-    qkv = _mm(p["qkv"], h)
-    q_sz = H * hd
-    kv_sz = cfg.num_kv_heads * hd
-    q = qkv[..., :q_sz].reshape(B, T, H, hd)
-    k = qkv[..., q_sz : q_sz + kv_sz].reshape(B, T, cfg.num_kv_heads, hd)
-    v = qkv[..., q_sz + kv_sz :].reshape(B, T, cfg.num_kv_heads, hd)
+    if "wq" in p:
+        q = _mm(p["wq"], h).reshape(B, T, H, hd)
+        k = _mm(p["wk"], h).reshape(B, T, cfg.num_kv_heads, hd)
+        v = _mm(p["wv"], h).reshape(B, T, cfg.num_kv_heads, hd)
+    else:
+        qkv = _mm(p["qkv"], h)
+        q_sz = H * hd
+        kv_sz = cfg.num_kv_heads * hd
+        q = qkv[..., :q_sz].reshape(B, T, H, hd)
+        k = qkv[..., q_sz : q_sz + kv_sz].reshape(B, T, cfg.num_kv_heads, hd)
+        v = qkv[..., q_sz + kv_sz :].reshape(B, T, cfg.num_kv_heads, hd)
     return (
         _rope(q, positions, cfg.rope_theta),
         _rope(k, positions, cfg.rope_theta),

@@ -31,28 +31,64 @@ def make_mesh(dp: int, tp: int = 1, devices: Optional[Sequence] = None) -> Mesh:
     return Mesh(arr, ("dp", "tp"))
 
 
+def split_qkv_params(params: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Fused Phi-3 params -> TP-clean split layout (wq/wk/wv, wgate/wup).
+
+    The Megatron TP layout needs each shard to own whole attention heads
+    (and a matching gate|up pair); a plain 'tp' column split of the FUSED
+    ``[D, q|k|v]`` / ``[D, gate|up]`` matrices crosses the concat
+    boundaries, so XLA must reassemble aligned slices with
+    collective-permutes inside every layer (measured: 44 permutes for a
+    2-layer tp=4 decode, 16 with only qkv split).  Splitting the weights (a
+    one-time host transform at shard time) makes the per-layer comms
+    exactly the two Megatron all-reduces.  ``phi3.forward`` accepts both
+    layouts.
+    """
+    q_sz = cfg.num_heads * cfg.head_dim
+    kv_sz = cfg.num_kv_heads * cfg.head_dim
+
+    def layer(lp):
+        w = lp["qkv"]
+        if isinstance(w, dict) or isinstance(lp["gate_up"], dict):
+            raise ValueError("split_qkv_params expects unquantized weights")
+        out = {k: v for k, v in lp.items() if k not in ("qkv", "gate_up")}
+        out["wq"] = w[:, :q_sz]
+        out["wk"] = w[:, q_sz : q_sz + kv_sz]
+        out["wv"] = w[:, q_sz + kv_sz :]
+        gu = lp["gate_up"]
+        i_sz = gu.shape[1] // 2
+        out["wgate"] = gu[:, :i_sz]
+        out["wup"] = gu[:, i_sz:]
+        return out
+
+    return {**params, "layers": [layer(lp) for lp in params["layers"]]}
+
+
 def phi3_param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
     """Megatron-style TP specs for the Phi-3 parameter pytree.
 
-    qkv/gate_up column-split on 'tp'; o/down row-split; embeddings and
-    lm_head vocab-split; norms replicated.
-
-    NOTE: with fused qkv, a plain column split would mix Q/K/V shards;
-    correctness is preserved because attention splits heads AFTER the matmul
-    and XLA re-shards as needed — for the compile-path validation this is
-    the intended layout, and the dedicated per-chip layout can be refined
-    per-kernel later.
+    wq/wk/wv (or fused qkv) and gate_up column-split on 'tp'; o/down
+    row-split; embeddings and lm_head vocab-split; norms replicated.  Use
+    :func:`split_qkv_params` first — the fused layout stays supported but
+    pays collective-permute resharding around attention (see its docstring).
     """
 
-    def layer(_):
-        return {
+    def layer(lp):
+        specs = {
             "input_ln": P(),
-            "qkv": P(None, "tp"),
             "o": P("tp", None),
             "post_ln": P(),
-            "gate_up": P(None, "tp"),
             "down": P("tp", None),
         }
+        if "wq" in lp:
+            specs.update(wq=P(None, "tp"), wk=P(None, "tp"), wv=P(None, "tp"))
+        else:
+            specs["qkv"] = P(None, "tp")
+        if "wgate" in lp:
+            specs.update(wgate=P(None, "tp"), wup=P(None, "tp"))
+        else:
+            specs["gate_up"] = P(None, "tp")
+        return specs
 
     return {
         "embed_tokens": P("tp", None),

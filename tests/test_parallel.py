@@ -9,7 +9,12 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from dynam3d_tpu.config import Phi3Config
 from dynam3d_tpu.models.vlm import phi3
-from dynam3d_tpu.parallel.mesh import make_mesh, phi3_param_specs, shard_tree
+from dynam3d_tpu.parallel.mesh import (
+    make_mesh,
+    phi3_param_specs,
+    shard_tree,
+    split_qkv_params,
+)
 
 TINY = Phi3Config(
     vocab_size=256, hidden_size=64, intermediate_size=128,
@@ -28,14 +33,56 @@ def test_tp_sharded_decode_matches_single_device():
     ref = np.asarray(phi3.greedy_decode(params, TINY, emb, valid, 5))
 
     mesh = make_mesh(dp=2, tp=4)
-    specs = phi3_param_specs(params)
+    split = split_qkv_params(params, TINY)
+    specs = phi3_param_specs(split)
     with mesh:
-        sharded = shard_tree(params, specs, mesh)
+        sharded = shard_tree(split, specs, mesh)
         emb_s = jax.device_put(emb, NamedSharding(mesh, P()))
         out = jax.jit(
             lambda p, e: phi3.greedy_decode(p, TINY, e, valid, 5)
         )(sharded, emb_s)
     np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_tp_comm_volume_is_megatron_minimal():
+    """Compiled-HLO comm audit for the tp=4 decode: the head-aligned
+    split-qkv layout must produce ONLY the two Megatron all-reduces per
+    layer (o-proj + down-proj partial sums) and no collective-permute
+    resharding; the fused-qkv layout is the regression case (measured 44
+    permutes before the split transform existed)."""
+    import re
+
+    params = phi3.init_phi3_params(jax.random.PRNGKey(0), TINY, dtype=jnp.float32)
+    emb = jnp.zeros((1, 12, TINY.hidden_size), jnp.float32)
+    valid = jnp.ones((1, 12), bool)
+    mesh = make_mesh(dp=1, tp=4, devices=jax.devices()[:4])
+
+    def compile_hlo(p):
+        specs = phi3_param_specs(p)
+        sh = jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs)
+        with mesh:
+            return (
+                jax.jit(
+                    lambda q, e: phi3.greedy_decode(q, TINY, e, valid, 3),
+                    in_shardings=(sh, NamedSharding(mesh, P())),
+                )
+                .lower(shard_tree(p, specs, mesh), emb)
+                .compile()
+                .as_text()
+            )
+
+    hlo = compile_hlo(split_qkv_params(params, TINY))
+    permutes = re.findall(r"collective-permute\(", hlo)
+    assert len(permutes) == 0, f"{len(permutes)} collective-permutes"
+    # big (hidden-size) all-reduces: 2/layer for prefill + 2/layer for the
+    # decode body = 4 * num_layers; smaller argmax/embedding collectives are
+    # allowed on top
+    big = [
+        m for m in re.finditer(r"all-reduce\(", hlo)
+    ]
+    assert len(big) >= 4 * TINY.num_layers
+    assert len(big) <= 4 * TINY.num_layers + 4, f"{len(big)} all-reduces"
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
