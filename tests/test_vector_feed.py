@@ -1,0 +1,90 @@
+"""VectorFeedPool: forked feed workers behind the Feed protocol."""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dynam3d_tpu.runtime.feed import STOP, FloorplanFeed, SyntheticRoomFeed
+from dynam3d_tpu.runtime.vector_feed import VectorFeedPool
+
+
+def test_pool_matches_inprocess_feeds():
+    """Batched reset/step through workers == the same feeds run in-process."""
+    factories = [
+        functools.partial(SyntheticRoomFeed, rgb_size=32, depth_size=16, seed=1),
+        functools.partial(SyntheticRoomFeed, rgb_size=32, depth_size=16, seed=2),
+        functools.partial(FloorplanFeed, rgb_size=32, depth_size=16),
+    ]
+    local = [f() for f in factories]
+    with VectorFeedPool(factories) as pool:
+        obs_p = pool.reset()
+        obs_l = [f.reset() for f in local]
+        for op, ol in zip(obs_p, obs_l):
+            np.testing.assert_array_equal(op.rgb, ol.rgb)
+            np.testing.assert_allclose(op.depth, ol.depth)
+        acts = [(0.3, 0.5), (1.2, 0.25), (0.0, 0.75)]
+        out_p = pool.step(acts)
+        out_l = [f.step(a) for f, a in zip(local, acts)]
+        for (op, dp, ip), (ol, dl, il) in zip(out_p, out_l):
+            np.testing.assert_allclose(op.position, ol.position)
+            assert dp == dl
+            np.testing.assert_allclose(
+                ip["distance_to_goal"], il["distance_to_goal"]
+            )
+
+
+def test_proxy_oracle_rpcs():
+    """Per-index proxies answer the oracle RPCs like a local feed."""
+    with VectorFeedPool(
+        [functools.partial(SyntheticRoomFeed, rgb_size=32, depth_size=16, seed=5)]
+    ) as pool:
+        proxy = pool.feeds[0]
+        local = SyntheticRoomFeed(rgb_size=32, depth_size=16, seed=5)
+        proxy.reset()
+        local.reset()
+        np.testing.assert_allclose(
+            proxy.cand_dist_to_goal(0.5, 0.75),
+            local.cand_dist_to_goal(0.5, 0.75),
+        )
+        np.testing.assert_allclose(
+            proxy.get_cand_real_pos(0.5, 0.75),
+            local.get_cand_real_pos(0.5, 0.75),
+        )
+        o_p = proxy.get_observation(np.float32([3, 1.25, 3]), 0.7)
+        o_l = local.get_observation(np.float32([3, 1.25, 3]), 0.7)
+        np.testing.assert_array_equal(o_p.rgb, o_l.rgb)
+
+
+def test_worker_error_surfaces():
+    with VectorFeedPool(
+        [functools.partial(SyntheticRoomFeed, rgb_size=16, depth_size=8)]
+    ) as pool:
+        try:
+            pool.feeds[0].no_such_method()
+            raise AssertionError("expected RuntimeError")
+        except RuntimeError as e:
+            assert "AttributeError" in str(e)
+
+
+def test_episode_runner_over_pool():
+    """EpisodeRunner drives pooled proxies unchanged (the VectorEnv role)."""
+    from dynam3d_tpu.models import policy as policy_mod
+    from dynam3d_tpu.runtime.episode import EpisodeRunner
+    from tests.test_e2e_slice import tiny_config
+
+    cfg = tiny_config()
+    params = policy_mod.init_policy_params(
+        jax.random.PRNGKey(0), cfg, llm_dtype=jnp.float32
+    )
+    runner = EpisodeRunner(params, cfg)
+    with VectorFeedPool(
+        [
+            functools.partial(SyntheticRoomFeed, rgb_size=56, depth_size=32, seed=0),
+            functools.partial(SyntheticRoomFeed, rgb_size=56, depth_size=32, seed=1),
+        ]
+    ) as pool:
+        res = runner.run(pool.feeds, max_steps=2)
+    assert len(res) == 2
+    assert all(r is not None and r["steps"] >= 1 for r in res)
