@@ -1,0 +1,119 @@
+"""Stage-level timing of the perceive path on the real chip.
+
+Times each stage of ``policy.perceive`` as a separately-jitted program at
+full dims (CLIP-L towers, FastSAM-x, full-capacity tables) so the ~80 ms
+perceive p50 can be attributed: tunnel RTT vs CLIP vs segmentation vs the
+3D-memory update scan vs environment-token extraction (VERDICT r1 weak 4).
+
+Usage: python tools/profile_perceive.py  (needs the TPU; ~5 min warm cache)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/dynam3d_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from dynam3d_tpu.config import Dynam3DConfig, FieldsConfig, LLaVAConfig, Phi3Config
+    from dynam3d_tpu.models import policy as policy_mod
+    from dynam3d_tpu.models.encoders import clip as clip_mod
+    from dynam3d_tpu.models.encoders import yolov8_seg
+    from dynam3d_tpu.models.memory3d import update_views, delete_from_frustum, environment_features
+    from dynam3d_tpu.models.vlm import llava as llava_mod
+    from dynam3d_tpu.geom.projection import habitat_to_world
+
+    def sync(y):
+        leaf = jax.tree_util.tree_leaves(y)[0]
+        return np.asarray(leaf.ravel()[0:1])
+
+    cfg = Dynam3DConfig(
+        fields=FieldsConfig(
+            patch_capacity=32768, instance_capacity=2048, zone_capacity=1024,
+            max_segments=64, max_members=512, max_zone_members=128,
+        ),
+        llava=LLaVAConfig(phi3=Phi3Config(num_layers=2)),  # LLM unused here
+    )
+    f = cfg.fields
+    params = policy_mod.init_policy_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    B, V = 1, 1
+    rgb = jnp.asarray(rng.integers(0, 255, (B, V, 336, 336, 3), dtype=np.uint8))
+    depth = jnp.asarray(rng.uniform(0.05, 0.95, (B, V, 256, 256)).astype(np.float32))
+    pos = jnp.asarray([[1.0, 1.25, 2.0]], jnp.float32)
+    hd = jnp.zeros((B,), jnp.float32)
+    state = policy_mod.batched_init_state(cfg, B)
+    H, W = f.input_height, f.input_width
+
+    # --- stage programs ---------------------------------------------------
+    def clip_grid(p, rgb):
+        pixels = clip_mod.preprocess_rgb(
+            rgb.reshape(B * V, 336, 336, 3), cfg.clip.image_size
+        )
+        _, grid = clip_mod.encode_image(p["clip"], cfg.clip, pixels)
+        return grid
+
+    def tower(p, rgb):
+        pixels = clip_mod.preprocess_rgb(
+            rgb.reshape(B * V, 336, 336, 3), cfg.clip.image_size
+        )
+        return llava_mod.image_features(
+            p["llava"], cfg.llava, cfg.clip, pixels.astype(jnp.float32)
+        )
+
+    def seg(p, rgb):
+        return yolov8_seg.segment_views(
+            p["yolo"], cfg.segmenter, rgb.reshape(B * V, 336, 336, 3),
+            (H, W), f.max_segments,
+        )
+
+    def full(p, st, rgb, depth, pos, hd):
+        return policy_mod.perceive(p, cfg, st, rgb, depth, pos, hd).mm_valid
+
+    def no_seg_update(p, st, rgb, depth, pos, hd):
+        # perceive minus segmentation/update: encoders + env tokens only
+        out = policy_mod.perceive(
+            p, cfg, st, rgb, depth, pos, hd, delete_old=False
+        )
+        return out.mm_valid
+
+    progs = {
+        "clip_grid(x1 tower)": (jax.jit(clip_grid), (params, rgb)),
+        "llava_tower+proj": (jax.jit(tower), (params, rgb)),
+        "fastsam_x_576": (jax.jit(seg), (params, rgb)),
+        "perceive_full": (jax.jit(full), (params, state, rgb, depth, pos, hd)),
+        "perceive_no_frustum_del": (
+            jax.jit(no_seg_update), (params, state, rgb, depth, pos, hd)
+        ),
+    }
+    triv = jax.jit(lambda x: x + 1.0)
+    sync(triv(hd))
+    t0 = time.time(); sync(triv(hd)); rtt = (time.time() - t0) * 1e3
+
+    print(f"rtt_ms={rtt:.1f}")
+    for name, (fn, args) in progs.items():
+        t0 = time.time()
+        sync(fn(*args))
+        compile_s = time.time() - t0
+        ts = []
+        for _ in range(6):
+            t0 = time.time()
+            sync(fn(*args))
+            ts.append(time.time() - t0)
+        p50 = float(np.percentile(ts, 50) * 1e3)
+        print(f"{name}: p50={p50:.1f} ms (net {p50 - rtt:.1f}), compile={compile_s:.0f}s")
+
+
+if __name__ == "__main__":
+    main()
