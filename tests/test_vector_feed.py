@@ -88,3 +88,23 @@ def test_episode_runner_over_pool():
         res = runner.run(pool.feeds, max_steps=2)
     assert len(res) == 2
     assert all(r is not None and r["steps"] >= 1 for r in res)
+
+
+def test_habitat_feed_import_gate_and_helpers():
+    """HabitatFeed ships as code but habitat-sim is absent in this image:
+    construction raises an actionable ImportError, and the pure-python
+    pose-math helpers (the reference's quaternion conventions,
+    environments.py:18-24,132) round-trip."""
+    import pytest
+
+    from dynam3d_tpu.runtime import habitat_feed as hf
+
+    assert hf.habitat_sim is None  # not installed in the TPU image
+    with pytest.raises(ImportError, match="habitat-sim"):
+        hf.HabitatFeed("scene.glb", {"goals": [{"position": [0, 0, 0]}]})
+    for heading in (0.0, 0.7, np.pi, 5.1):
+        q = hf.heading_to_quat(heading)
+        np.testing.assert_allclose(np.linalg.norm(q), 1.0, rtol=1e-12)
+        np.testing.assert_allclose(
+            hf.quat_to_heading(q), heading % (2 * np.pi), atol=1e-9
+        )
