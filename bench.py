@@ -262,11 +262,97 @@ def _phase_breakdown(runner, params, cfg, state, obs, hist, rep, B, steps=6):
     }
 
 
+def serve_bench():
+    """DYNAM3D_BENCH_MODE=serve: closed-loop multi-episode serving
+    (BASELINE config 5): EpisodeRunner.run over B synthetic episodes with
+    run_interleaved host/device overlap; reports steps/sec and per-step p50
+    vs the single-episode path.  Batch via DYNAM3D_BENCH_BATCH (default 4),
+    groups via DYNAM3D_BENCH_GROUPS (default 2)."""
+    import jax
+
+    cache_dir = os.environ.get("DYNAM3D_XLA_CACHE", "/tmp/dynam3d_xla_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from dynam3d_tpu.models import policy as policy_mod
+    from dynam3d_tpu.models.vlm.phi3 import quantize_phi3
+    from dynam3d_tpu.runtime.episode import EpisodeRunner
+    from dynam3d_tpu.runtime.feed import SyntheticRoomFeed
+
+    scale = os.environ.get("DYNAM3D_BENCH_SCALE", "full")
+    B = int(os.environ.get("DYNAM3D_BENCH_BATCH", "4"))
+    groups = int(os.environ.get("DYNAM3D_BENCH_GROUPS", "2"))
+    max_steps = int(os.environ.get("DYNAM3D_BENCH_STEPS", "6"))
+    cfg = _config(scale)
+    params = policy_mod.init_policy_params(jax.random.PRNGKey(0), cfg)
+    bits = int(os.environ.get("DYNAM3D_QUANT_BITS", "4"))
+    if bits:
+        params["llava"]["phi3"] = quantize_phi3(
+            params["llava"]["phi3"], bits=bits, consume=True
+        )
+    runner = EpisodeRunner(params, cfg)
+    rgb_size = cfg.clip.image_size
+    depth_size = 256 if scale == "full" else 32
+
+    def feeds(n):
+        return [
+            SyntheticRoomFeed(
+                rgb_size=rgb_size, depth_size=depth_size, views=1, seed=i
+            )
+            for i in range(n)
+        ]
+
+    # warmup/compile the B-episode shape and every per-group shape the
+    # interleaved split will use
+    runner.run(feeds(B), max_steps=2, ignore_stop=True)
+    runner.run_interleaved(
+        feeds(B), groups=groups, max_steps=2, ignore_stop=True
+    )
+    t0 = time.time()
+    res = runner.run(feeds(B), max_steps=max_steps, ignore_stop=True)
+    batch_s = time.time() - t0
+    n_steps = sum(r["steps"] for r in res)
+
+    t0 = time.time()
+    res_i = runner.run_interleaved(
+        feeds(B), groups=groups, max_steps=max_steps, ignore_stop=True
+    )
+    inter_s = time.time() - t0
+    n_steps_i = sum(r["steps"] for r in res_i)
+
+    runner.run(feeds(1), max_steps=2, ignore_stop=True)
+    t0 = time.time()
+    res1 = runner.run(feeds(1), max_steps=max_steps, ignore_stop=True)
+    single_s = time.time() - t0
+
+    print(json.dumps({
+        "metric": "serve_steps_per_sec",
+        "value": round(n_steps / batch_s, 3),
+        "unit": "steps/s",
+        "vs_baseline": 1.0,
+        "extra": {
+            "batch": B,
+            "groups": groups,
+            "batched_step_ms": round(batch_s / max(n_steps / B, 1) * 1000, 1),
+            "interleaved_steps_per_sec": round(n_steps_i / inter_s, 3),
+            "single_steps_per_sec": round(res1[0]["steps"] / single_s, 3),
+            "scale": scale,
+            "quant_bits": bits,
+            "max_steps": max_steps,
+        },
+    }))
+
+
 def main():
     import jax
 
     if os.environ.get("DYNAM3D_BENCH_MODE") == "render":
         return render_bench()
+    if os.environ.get("DYNAM3D_BENCH_MODE") == "serve":
+        return serve_bench()
 
     # persistent compile cache: the tunnel makes cold compiles ~10min at full
     # scale; warm runs start in seconds.

@@ -119,10 +119,13 @@ def _mlp(p: Params, h: jnp.ndarray) -> jnp.ndarray:
     rows = 1
     for s in h.shape[:-1]:
         rows *= s
+    import os
+
     if (
         isinstance(gu, dict) and "q4" in gu
         and isinstance(dn, dict) and "q4" in dn
         and rows <= 16
+        and os.environ.get("DYNAM3D_INT4_FUSED_MLP", "1") not in ("0", "false")
     ):
         from dynam3d_tpu.ops.pallas_int4 import int4_mlp
 

@@ -190,6 +190,175 @@ def _xla_int4_matmul(xp: jnp.ndarray, w: Int4Weight) -> jnp.ndarray:
     )
 
 
+def _mlp_kernel(
+    x_ref, qgu_ref, sgl_ref, sgh_ref, qdn_ref, sdl_ref, sdh_ref,
+    out_ref, h_ref, *, dblk: int, n_gu: int,
+):
+    """Fused SwiGLU MLP: phase 1 (programs [0, n_gu)) fills the hidden
+    activation scratch ``h = silu(gate) * up`` column-block by column-block;
+    phase 2 streams the down-projection against the completed scratch.
+
+    Correct because the TPU Pallas grid executes SEQUENTIALLY and scratch
+    persists across grid steps — h is fully written before the first
+    phase-2 program runs.  gate|up arrive as the lo|hi nibble halves of one
+    packed array, so the SwiGLU product needs no extra pass."""
+    j = pl.program_id(0)
+    bp = x_ref.shape[0]
+    nblk = qgu_ref.shape[1]
+
+    def matvec(src_ref, q_ref, sl_ref, sh_ref, g):
+        def chunk(i, carry):
+            acc_lo, acc_hi = carry
+            lo, hi = _unpack_i32(q_ref[pl.ds(i * dblk, dblk), :])
+            xc = src_ref[:, pl.ds(i * dblk, dblk)]
+            p_lo = jnp.dot(
+                xc, lo.astype(xc.dtype), preferred_element_type=jnp.float32
+            )
+            p_hi = jnp.dot(
+                xc, hi.astype(xc.dtype), preferred_element_type=jnp.float32
+            )
+            acc_lo = acc_lo + p_lo * sl_ref[pl.ds(i, 1), :]
+            acc_hi = acc_hi + p_hi * sh_ref[pl.ds(i, 1), :]
+            return acc_lo, acc_hi
+
+        z = jnp.zeros((bp, nblk), jnp.float32)
+        return jax.lax.fori_loop(0, g, chunk, (z, z))
+
+    @pl.when(j == 0)
+    def _():
+        # the down pack's padded rows are zero weights, but 0 * garbage VMEM
+        # could still be NaN — zero the whole activation scratch once
+        h_ref[...] = jnp.zeros_like(h_ref)
+
+    @pl.when(j < n_gu)
+    def _():
+        gate, up = matvec(x_ref, qgu_ref, sgl_ref, sgh_ref, sgl_ref.shape[0])
+        h = gate * jax.nn.sigmoid(gate) * up                    # SwiGLU
+        h_ref[:, pl.ds(j * nblk, nblk)] = h.astype(jnp.bfloat16)
+
+    @pl.when(j >= n_gu)
+    def _():
+        lo, hi = matvec(h_ref, qdn_ref, sdl_ref, sdh_ref, sdl_ref.shape[0])
+        out_ref[0] = lo
+        out_ref[1] = hi
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_int4_mlp(
+    xp: jnp.ndarray, gu: Int4Weight, dn: Int4Weight, interpret: bool = False
+) -> jnp.ndarray:
+    """xp [Bp, Dp] bf16 -> [Bp, Np_dn] f32 (padded halves concatenated)."""
+    bp, dp = xp.shape
+    n2_gu = gu.q4.shape[1]            # = intermediate size I (lo=gate, hi=up)
+    n2_dn = dn.q4.shape[1]
+    ip = dn.q4.shape[0]               # padded I for the down projection
+    nblk = gu.nblk
+    n_gu = n2_gu // nblk
+    n_dn = n2_dn // nblk
+    g_gu = gu.s_lo.shape[0]
+    g_dn = dn.s_lo.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_mlp_kernel, dblk=gu.dblk, n_gu=n_gu),
+        grid=(n_gu + n_dn,),
+        in_specs=[
+            pl.BlockSpec((bp, dp), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (dp, nblk), lambda j: (0, jnp.minimum(j, n_gu - 1)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (g_gu, nblk), lambda j: (0, jnp.minimum(j, n_gu - 1)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (g_gu, nblk), lambda j: (0, jnp.minimum(j, n_gu - 1)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (ip, nblk), lambda j: (0, jnp.maximum(j - n_gu, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (g_dn, nblk), lambda j: (0, jnp.maximum(j - n_gu, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (g_dn, nblk), lambda j: (0, jnp.maximum(j - n_gu, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, bp, nblk), lambda j: (0, 0, jnp.maximum(j - n_gu, 0)),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, bp, n2_dn), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bp, max(ip, n2_gu)), jnp.bfloat16)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bp * (dp * n2_gu + ip * n2_dn),
+            bytes_accessed=dp * n2_gu + ip * n2_dn,
+            transcendentals=bp * n2_gu,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(xp, gu.q4, gu.s_lo, gu.s_hi, dn.q4, dn.s_lo, dn.s_hi)
+    return jnp.concatenate([out[0], out[1]], axis=-1)
+
+
+def int4_mlp(
+    x: jnp.ndarray, gate_up: Int4Weight, down: Int4Weight, out_dtype=None
+) -> jnp.ndarray:
+    """Fused SwiGLU MLP ``down(silu(gate(x)) * up(x))`` over packed int4
+    weights — one kernel launch instead of two plus XLA glue (the decode
+    hot path; docs/BENCH_NOTES.md round-2 notes).
+
+    Constraints (guaranteed by ``quantize_phi3``'s packing): gate_up's lo/hi
+    halves are exactly gate|up, ``down``'s row padding Ip >= I, and both
+    packs share ``nblk``/``dblk``.  Falls back to two unfused matmuls off
+    TPU or for prefill-sized row counts.
+    """
+    lead = x.shape[:-1]
+    rows = int(np.prod(lead)) if lead else 1
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and rows <= 16
+        and gate_up.nblk == down.nblk
+        and gate_up.dblk == down.dblk
+        # lo|hi nibble halves are exactly gate|up ONLY when the packed
+        # column count had no padding (I a multiple of nblk) — true at
+        # Phi-3 dims (8192/512); tiny configs fall back
+        and gate_up.n == 2 * gate_up.q4.shape[1]
+        and not os.environ.get("DYNAM3D_DISABLE_PALLAS")
+    )
+    if not use_pallas:
+        h = int4_matmul(x, gate_up, out_dtype=jnp.float32)
+        gate, up = jnp.split(h, 2, axis=-1)
+        h = (jax.nn.silu(gate) * up).astype(x.dtype)
+        # re-pad hidden to the down pack's row count
+        pad = down.q4.shape[0] - h.shape[-1]
+        if pad:
+            h = jnp.concatenate(
+                [h, jnp.zeros((*h.shape[:-1], pad), h.dtype)], axis=-1
+            )
+        return int4_matmul(h, down, out_dtype=out_dtype or x.dtype)
+    d = x.shape[-1]
+    dp = gate_up.q4.shape[0]
+    bp = _round_up(max(rows, 1), 16)
+    xp = jnp.pad(
+        x.reshape(rows, d).astype(jnp.bfloat16),
+        ((0, bp - rows), (0, dp - d)),
+    )
+    # the scratch covers Ip rows; silu(0)*0 pads are exactly zero, so the
+    # padded hidden columns contribute nothing to the down matmul
+    y = _pallas_int4_mlp(xp, gate_up, down)
+    return (
+        y[:rows, : down.n]
+        .reshape(*lead, down.n)
+        .astype(out_dtype or x.dtype)
+    )
+
+
 def int4_matmul(x: jnp.ndarray, w: Int4Weight, out_dtype=None) -> jnp.ndarray:
     """``x [..., D] @ W[D, N]`` against a packed int4 weight.
 

@@ -126,8 +126,14 @@ class EpisodeRunner:
         feeds: Sequence[Feed],
         max_steps: Optional[int] = None,
         pre_explore_steps: int = 0,
+        ignore_stop: bool = False,
     ) -> List[Dict]:
         """Greedy closed-loop eval of one episode per feed (batched).
+
+        ``ignore_stop=True`` substitutes a small forward move whenever the
+        decoded action is STOP, so every episode runs the full
+        ``max_steps`` — the steady-state serving-benchmark mode (random or
+        untrained weights decode to STOP almost immediately otherwise).
 
         Returns per-episode info dicts (positions, steps, final distance).
         """
@@ -165,6 +171,8 @@ class EpisodeRunner:
                     text = text[:cut]
                 act_state[i].push_history(text + "\n")
                 action = parse_action(text, cfg.action)
+                if ignore_stop and action == STOP and stepk < max_steps - 1:
+                    action = (0.1, 0.25)
                 if action == STOP or stepk == max_steps - 1 or (
                     action != STOP and action[0] == 0.0 and action[1] == 0.0
                 ):
@@ -206,6 +214,7 @@ class EpisodeRunner:
         feeds: Sequence[Feed],
         groups: int = 2,
         max_steps: Optional[int] = None,
+        ignore_stop: bool = False,
     ) -> List[Dict]:
         """Round-robin two (or more) episode groups so host work (feed
         rendering, tokenization) overlaps device compute — the throughput
@@ -222,7 +231,7 @@ class EpisodeRunner:
         results: List[Optional[Dict]] = [None] * len(feeds)
 
         def worker(idxs):
-            out = self.run([feeds[i] for i in idxs], max_steps)
+            out = self.run([feeds[i] for i in idxs], max_steps, ignore_stop=ignore_stop)
             for j, i in enumerate(idxs):
                 results[i] = out[j]
 

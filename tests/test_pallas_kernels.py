@@ -110,6 +110,37 @@ def test_pallas_int4_matmul_matches_dequant():
     assert err < 0.2 * np.abs(y_fp).max(), err
 
 
+def test_pallas_int4_fused_mlp_matches_unfused():
+    """Fused SwiGLU MLP kernel (interpret mode) == unfused two-matmul path:
+    the persistent-scratch phase handoff (gate/up -> h -> down) is exact."""
+    from dynam3d_tpu.ops.pallas_int4 import (
+        _pallas_int4_mlp,
+        int4_matmul,
+        pack_int4,
+    )
+
+    rng = np.random.default_rng(2)
+    D, I, B = 1024, 1024, 2     # I % nblk == 0: the fused-path requirement
+    w_gate = rng.normal(size=(D, I)).astype(np.float32) * 0.05
+    w_up = rng.normal(size=(D, I)).astype(np.float32) * 0.05
+    w_down = rng.normal(size=(I, D)).astype(np.float32) * 0.05
+    gu = pack_int4(jnp.asarray(np.concatenate([w_gate, w_up], 1)))
+    dn = pack_int4(jnp.asarray(w_down))
+    assert gu.n == 2 * gu.q4.shape[1]  # no column padding: halves align
+
+    x = rng.normal(size=(B, D)).astype(np.float32)
+    xp = jnp.pad(jnp.asarray(x, jnp.bfloat16), ((0, 16 - B), (0, 0)))
+    y_fused = _pallas_int4_mlp(xp, gu, dn, interpret=True)[:B, :D]
+
+    h = int4_matmul(jnp.asarray(x), gu, out_dtype=jnp.float32)
+    g, u = jnp.split(h, 2, axis=-1)
+    hh = (jax.nn.silu(g) * u).astype(jnp.bfloat16)
+    y_ref = int4_matmul(hh, dn, out_dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(y_fused), np.asarray(y_ref), rtol=3e-2, atol=3e-2
+    )
+
+
 def test_full_step_fused_matches_two_phase():
     """full_step == perceive + generate run separately."""
     from dynam3d_tpu.models import policy as policy_mod
