@@ -387,7 +387,22 @@ def quantize_phi3(params: Params, bits: int = 8, consume: bool = False) -> Param
         if bits == 4:
             from dynam3d_tpu.ops.pallas_int4 import pack_int4
 
-            out["q4"] = pack_int4(wf)
+            # per-shape column-block size, from the on-chip sweep
+            # (docs/BENCH_NOTES.md): tall-skinny weights (down: Dp 8192,
+            # few column blocks) and narrow ones (o-proj) pipeline better
+            # with 1024-wide blocks; wide mats (gate_up/qkv/lm_head) peak
+            # at 512.
+            import os
+
+            # per-shape nblk looked better in isolated matvec microbenches
+            # (o/down prefer 1024-wide blocks) but measures WORSE inside the
+            # real 32-layer decode loop (5.23 vs 4.86 ms/token interleaved
+            # A/B) — uniform 512 stays the default; opt in to re-test.
+            d_w, n_w = wf.shape
+            nblk = 512
+            if os.environ.get("DYNAM3D_INT4_PER_SHAPE_NBLK") in ("1", "true"):
+                nblk = 1024 if (d_w >= 4096 or n_w <= 4096) else 512
+            out["q4"] = pack_int4(wf, nblk=nblk)
         return out
 
     def q_weight(lp, name):

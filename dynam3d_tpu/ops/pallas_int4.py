@@ -173,6 +173,70 @@ def _pallas_int4_matmul(
     return jnp.concatenate([out[0], out[1]], axis=-1)
 
 
+def _kernel2d(x_ref, q_ref, sl_ref, sh_ref, out_ref):
+    """One (row-chunk, column-block) tile per program; rows accumulate into
+    the revisited output block.  The 2D grid turns the whole matvec into
+    uniform small tiles, so the HBM pipeline has g x n_j stages to overlap
+    instead of n_j ramp-limited ones — tall weights (down-proj: 8 row
+    chunks, 3 column blocks) pipeline much better this way."""
+    i = pl.program_id(1)
+    lo, hi = _unpack_i32(q_ref[:])
+    xc = x_ref[:]
+    p_lo = jnp.dot(xc, lo.astype(xc.dtype), preferred_element_type=jnp.float32)
+    p_hi = jnp.dot(xc, hi.astype(xc.dtype), preferred_element_type=jnp.float32)
+    p_lo = p_lo * sl_ref[:]
+    p_hi = p_hi * sh_ref[:]
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[0] = p_lo
+        out_ref[1] = p_hi
+
+    @pl.when(i > 0)
+    def _():
+        out_ref[0] += p_lo
+        out_ref[1] += p_hi
+
+
+def _pallas_int4_matmul2d(
+    xp: jnp.ndarray, w: Int4Weight, interpret: bool = False
+) -> jnp.ndarray:
+    """2D-grid twin of :func:`_pallas_int4_matmul` (same in/out contract).
+
+    Not jitted itself: nesting this jit under an outer trace alongside the
+    1D variant trips a jax-0.9 lowering-cache KeyError (closed_call); it is
+    only ever called from already-jitted callers anyway."""
+    bp, dp = xp.shape
+    n2 = w.q4.shape[1]
+    g = w.s_lo.shape[0]
+    nblk = min(w.nblk, n2)
+    dblk = w.dblk
+    out = pl.pallas_call(
+        _kernel2d,
+        grid=(n2 // nblk, g),
+        in_specs=[
+            pl.BlockSpec((bp, dblk), lambda j, i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dblk, nblk), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nblk), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nblk), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, bp, nblk), lambda j, i: (0, 0, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, bp, n2), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bp * dp * n2,
+            bytes_accessed=dp * n2 + bp * dp * 2 + 2 * bp * n2 * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
+    )(xp, w.q4, w.s_lo, w.s_hi)
+    return jnp.concatenate([out[0], out[1]], axis=-1)
+
+
 def _xla_int4_matmul(xp: jnp.ndarray, w: Int4Weight) -> jnp.ndarray:
     """Fallback (CPU tests / non-TPU): dequantize then matmul.  Materializes
     the bf16 weights, so it carries none of the bandwidth win."""
@@ -380,7 +444,10 @@ def int4_matmul(x: jnp.ndarray, w: Int4Weight, out_dtype=None) -> jnp.ndarray:
         and not os.environ.get("DYNAM3D_DISABLE_PALLAS")
     )
     if use_pallas:
-        y = _pallas_int4_matmul(xp, w)
+        if os.environ.get("DYNAM3D_INT4_GRID2D"):
+            y = _pallas_int4_matmul2d(xp, w)
+        else:
+            y = _pallas_int4_matmul(xp, w)
     else:
         y = _xla_int4_matmul(xp, w)
     return y[:rows, : w.n].reshape(*lead, w.n).astype(out_dtype or x.dtype)

@@ -103,6 +103,13 @@ def test_pallas_int4_matmul_matches_dequant():
     )
     # padded region of the weight is exactly zero
     np.testing.assert_array_equal(np.asarray(yk[:, N:]), 0.0)
+    # the 2D-grid accumulation variant computes the same result
+    from dynam3d_tpu.ops.pallas_int4 import _pallas_int4_matmul2d
+
+    y2 = _pallas_int4_matmul2d(xp, pk, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(y2), np.asarray(yf), rtol=2e-2, atol=2e-2
+    )
     # quantization tracks fp (statistical: ~s/2 per element over D=640
     # accumulation terms; the tight correctness check is kernel==fallback)
     y_fp = x @ w
