@@ -184,8 +184,10 @@ def _kernel2d(x_ref, q_ref, sl_ref, sh_ref, out_ref):
     xc = x_ref[:]
     p_lo = jnp.dot(xc, lo.astype(xc.dtype), preferred_element_type=jnp.float32)
     p_hi = jnp.dot(xc, hi.astype(xc.dtype), preferred_element_type=jnp.float32)
-    p_lo = p_lo * sl_ref[:]
-    p_hi = p_hi * sh_ref[:]
+    # scale blocks carry all G rows (a (1, nblk) block violates the TPU
+    # sublane-divisibility rule); select this program's row-chunk scale
+    p_lo = p_lo * sl_ref[pl.ds(i, 1), :]
+    p_hi = p_hi * sh_ref[pl.ds(i, 1), :]
 
     @pl.when(i == 0)
     def _():
@@ -217,8 +219,8 @@ def _pallas_int4_matmul2d(
         in_specs=[
             pl.BlockSpec((bp, dblk), lambda j, i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((dblk, nblk), lambda j, i: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nblk), lambda j, i: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nblk), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, nblk), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, nblk), lambda j, i: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (2, bp, nblk), lambda j, i: (0, 0, j), memory_space=pltpu.VMEM
