@@ -75,12 +75,16 @@ def _config(scale: str):
     # full dims; LLM depth via env — default is the FULL 32-layer Phi-3-mini
     # (segmenter defaults to the full FastSAM-x port at 576^2)
     n_layers = int(os.environ.get("DYNAM3D_BENCH_LLM_LAYERS", "32"))
+    bucket = int(os.environ.get("DYNAM3D_PREFILL_BUCKET", "128"))
     return Dynam3DConfig(
         fields=FieldsConfig(
             patch_capacity=32768, instance_capacity=2048, zone_capacity=1024,
             max_segments=64, max_members=512, max_zone_members=128,
         ),
-        llava=LLaVAConfig(phi3=Phi3Config(num_layers=n_layers), max_new_tokens=20),
+        llava=LLaVAConfig(
+            phi3=Phi3Config(num_layers=n_layers), max_new_tokens=20,
+            prefill_bucket=bucket,
+        ),
     )
 
 

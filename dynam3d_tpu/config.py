@@ -171,7 +171,12 @@ class LLaVAConfig:
     vision_feature_layer: int = -2  # second-to-last ViT layer
     projector_hidden: int = 3072
     max_new_tokens: int = 20        # greedy decode cap (Policy_Dynam3D_VLN.py:463)
-    prefill_bucket: int = 512       # pad prompt length to a multiple of this
+    prefill_bucket: int = 128       # pad prompt length to a multiple of this
+                                    # (tighter buckets waste fewer padded
+                                    # prefill tokens — 816-token prompts pad
+                                    # to 896 not 1024, prefill -7% measured;
+                                    # each distinct bucket costs one compile,
+                                    # amortized by the persistent XLA cache)
 
 
 @dataclass(frozen=True)
