@@ -205,3 +205,19 @@ def test_graph_geodesic_disconnected(tmp_path):
     edges["vp1"] = []  # cut the line
     edges["vp0"] = []
     assert math.isinf(d2c.graph_geodesic(pos, edges, "vp0", "vp2"))
+
+
+def test_convert_items_snap_hook(tmp_path):
+    """snap_fn plugs navmesh snapping in (the habitat hosts' path)."""
+    scan = _write_connectivity(tmp_path)
+    items = [{
+        "scan": scan, "path": ["vp0", "vp1", "vp2"], "heading": 0.0,
+        "instructions": ["go"], "instr_encodings": [[1]],
+    }]
+    eps, gts = d2c.convert_items(
+        items, str(tmp_path), spec=d2c.DATASETS["scalevln_train"],
+        snap_fn=lambda sc, p: [p[0], p[1] - 0.07, p[2]],  # fake snap: drop 7cm
+    )
+    assert len(eps) == 1
+    np.testing.assert_allclose(eps[0]["start_position"][1], 1.5 - 0.07)
+    np.testing.assert_allclose(gts[str(eps[0]["episode_id"])]["locations"][2][1], 1.43)

@@ -200,6 +200,7 @@ def convert_items(
     conn_dir: str,
     spec: DatasetSpec = DATASETS["navrag_train"],
     geodesic_fn: Optional[Callable[[str, str, str], float]] = None,
+    snap_fn: Optional[Callable[[str, List[float]], List[float]]] = None,
     start_episode_id: Optional[int] = None,
     rng_seed: int = 0,
 ) -> Tuple[List[Dict], Dict[str, Dict]]:
@@ -209,6 +210,13 @@ def convert_items(
     ``instructions`` (+ optional ``instr_encodings``) — the NavRAG/REVERIE/
     ScaleVLN schema.  gt records use the ``forward_steps = 6 * len(path)``
     convention (navrag_train:346-350).
+
+    ``geodesic_fn(scan, vp_a, vp_b)`` and ``snap_fn(scan, position)`` plug a
+    real simulator in on hosts that have one: the reference converters use
+    ``habitat_sim.geodesic_distance`` / navmesh snapping; the defaults here
+    are graph geodesics with raw graph positions (exact on the nav graph).
+    With habitat installed, ``HabitatFeed``'s simulator provides both:
+    ``sim.pathfinder.snap_point`` / ``ShortestPath``.
     """
     episodes: List[Dict] = []
     gts: Dict[str, Dict] = {}
@@ -252,6 +260,8 @@ def convert_items(
             [float(p[0]), float(p[1]) + spec.height_offset, float(p[2])]
             for p in (positions[v] for v in path_ids)
         ]
+        if snap_fn is not None:
+            ref_path = [list(snap_fn(scan, p)) for p in ref_path]
 
         if geodesic_fn is not None:
             geo = geodesic_fn(scan, path_ids[0], path_ids[-1])
