@@ -110,7 +110,13 @@ def main(argv=None) -> None:
             start = trainer.resume(ckpt_dir) if cfg.train.is_requeue else 0
             trainer.train(cfg.train.iters - start, ckpt_dir=ckpt_dir)
         elif args.run_type == "eval":
-            feeds = [feed_factory() for _ in range(8)]
+            from dynam3d_tpu.runtime.feed import FloorplanFeed
+
+            # demo eval mixes convex rooms with non-convex floorplans so the
+            # geodesic metrics exercise both geometries
+            feeds = [feed_factory() for _ in range(6)] + [
+                FloorplanFeed(seed=s) for s in (1, 2)
+            ]
             gt = [np.zeros((2, 3), np.float32) for _ in feeds]
             agg = evaluate(params, cfg, feeds, gt, rank=rank, world=world,
                            out_dir=f"data/eval/{args.exp_name}")
