@@ -131,6 +131,79 @@ def field_params_from_torch(sd: Mapping) -> Dict[str, Any]:
     }
 
 
+def _ceil16(n: int) -> int:
+    return ((n + 15) // 16) * 16
+
+
+def tcnn_mlp_from_flat(
+    flat: Any, n_in: int, n_out: int, neurons: int, n_hidden: int
+) -> list:
+    """Unflatten a tinycudann CutlassMLP ``params`` tensor into per-layer
+    ``[in, out]`` matrices.
+
+    tcnn stores the network as one flat fp16 vector: row-major weight
+    matrices concatenated in layer order, with the network's input and
+    output widths padded up to multiples of 16 (hidden layers use
+    ``n_neurons`` as-is).  The reference's renderer heads (``nerf_encoder``
+    / ``nerf_decoder``, src_3dff feature_fields.py:221-243) serialize this
+    way inside pretrain checkpoints.
+    """
+    w = np.asarray(_np(flat), np.float32).reshape(-1)
+    in_pad, out_pad = _ceil16(n_in), _ceil16(n_out)
+    dims = (
+        [(neurons, in_pad)]
+        + [(neurons, neurons)] * (n_hidden - 1)
+        + [(out_pad, neurons)]
+    )
+    mats, off = [], 0
+    for o, i in dims:
+        m = w[off : off + o * i].reshape(o, i)
+        off += o * i
+        mats.append(m)
+    if off != w.size:
+        raise ValueError(
+            f"tcnn flat params size {w.size} != layout {off} "
+            f"(in={n_in}, out={n_out}, neurons={neurons}, hidden={n_hidden})"
+        )
+    # crop padding, transpose to our [in, out] convention
+    out = [jnp.asarray(mats[0][:, :n_in].T)]
+    out += [jnp.asarray(m.T) for m in mats[1:-1]]
+    out.append(jnp.asarray(mats[-1][:n_out, :].T))
+    return out
+
+
+def render_params_from_torch(sd: Mapping, cfg) -> Dict[str, Any]:
+    """Renderer heads (src_3dff feature_fields.py:218-256) -> render params.
+
+    ``patch_to_nerf_position_embedding`` / ``aggregate_patch_to_nerf_encoder``
+    are plain Linear+LayerNorm pairs; ``nerf_encoder`` / ``nerf_decoder``
+    are tinycudann networks stored as flat ``params`` vectors (see
+    :func:`tcnn_mlp_from_flat`).  ``cfg`` is the FieldsConfig providing
+    ``mlp_net_width`` / ``mlp_net_layers``.
+    """
+    d = cfg.mlp_net_width
+    n_enc = cfg.mlp_net_layers // 2
+    n_dec = cfg.mlp_net_layers - n_enc
+    enc = tcnn_mlp_from_flat(sd["nerf_encoder.params"], d, d + 1, d, n_enc)
+    dec = tcnn_mlp_from_flat(sd["nerf_decoder.params"], d, d, d, n_dec)
+    pos = dense_from_torch(sd, "patch_to_nerf_position_embedding.0")
+    agg = dense_from_torch(sd, "aggregate_patch_to_nerf_encoder.0")
+    return {
+        "pos_w": pos["w"],
+        "pos_b": pos["b"],
+        "pos_ln": ln_from_torch(sd, "patch_to_nerf_position_embedding.1"),
+        "agg_w": agg["w"],
+        "agg_b": agg["b"],
+        "agg_ln": ln_from_torch(sd, "aggregate_patch_to_nerf_encoder.1"),
+        "mlp": {
+            "enc_hidden": enc[:-1],
+            "enc_out": enc[-1],
+            "dec_hidden": dec[:-1],
+            "dec_out": dec[-1],
+        },
+    }
+
+
 # --------------------------------------------------------------------------
 # CLIP (OpenAI layout, clip/model.py)
 # --------------------------------------------------------------------------
