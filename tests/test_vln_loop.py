@@ -211,3 +211,30 @@ def test_train_episode_with_waypoint_predictor(setup):
     out = trainer.train_episode(max_steps=2)
     assert np.isfinite(out["loss"]) and out["steps"] >= 1
     assert calls["n"] >= 1, "waypoint predictor was not exercised"
+
+
+def test_run_cli_eval(tmp_path, monkeypatch):
+    """CLI-level eval entry (run.py): builds the policy, runs the mixed
+    synthetic+floorplan demo episodes, writes stats artifacts."""
+    import dataclasses
+    import json
+
+    from dynam3d_tpu import run as run_mod
+    from tests.test_e2e_slice import tiny_config
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, max_traj_len=2)
+    )
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(dataclasses.asdict(cfg)))
+    monkeypatch.chdir(tmp_path)
+    run_mod.main([
+        "--run-type", "eval", "--exp_name", "evaldemo",
+        "--exp-config", str(cfg_path),
+    ])
+    out = tmp_path / "data" / "eval" / "evaldemo"
+    stats = [p for p in out.iterdir() if p.name.startswith("stats_ep")]
+    assert stats, list(out.iterdir())
+    per_ep = json.load(open(stats[0]))
+    assert len(per_ep) == 8
