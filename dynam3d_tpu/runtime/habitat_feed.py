@@ -30,7 +30,7 @@ into EpisodeRunner / VLNTrainer / VectorFeedPool unchanged.
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 

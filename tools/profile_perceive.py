@@ -30,9 +30,7 @@ def main():
     from dynam3d_tpu.models import policy as policy_mod
     from dynam3d_tpu.models.encoders import clip as clip_mod
     from dynam3d_tpu.models.encoders import yolov8_seg
-    from dynam3d_tpu.models.memory3d import update_views, delete_from_frustum, environment_features
     from dynam3d_tpu.models.vlm import llava as llava_mod
-    from dynam3d_tpu.geom.projection import habitat_to_world
 
     def sync(y):
         leaf = jax.tree_util.tree_leaves(y)[0]
