@@ -103,14 +103,29 @@ def render_bench():
     cfg = FieldsConfig()
     params = init_render_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
-    n = 20000
+    # patch table from a synthetic WALK (576 frustum-clustered patches per
+    # frame), the layout real episodes produce — uniform scatter would both
+    # misrepresent usage and defeat the banded k-NN's bbox culling
+    frames = 35
+    pts = []
+    pos = np.array([0.0, 0.0, 1.3])
+    for _ in range(frames):
+        heading = rng.uniform(0, 2 * np.pi)
+        depth = rng.uniform(0.5, 6.0, 576)
+        ang = rng.uniform(-0.7, 0.7, 576)
+        pts.append(np.stack([
+            pos[0] + depth * np.cos(heading + ang),
+            pos[1] + depth * np.sin(heading + ang),
+            rng.uniform(0, 2.5, 576),
+        ], 1))
+        pos[:2] += rng.uniform(-0.5, 0.5, 2)
+    walk = np.concatenate(pts).astype(np.float32)
+    n = walk.shape[0]
     state = init_state(cfg)
     state = state._replace(
-        patch_pos=state.patch_pos.at[:n].set(
-            jnp.asarray(rng.uniform(-5, 5, (n, 3)).astype(np.float32))
-        ),
+        patch_pos=state.patch_pos.at[:n].set(jnp.asarray(walk)),
         patch_fts=state.patch_fts.at[:n].set(
-            jnp.asarray(rng.normal(size=(n, cfg.fts_dim)).astype(np.float32))
+            jnp.asarray(rng.normal(size=(n, cfg.fts_dim)), state.patch_fts.dtype)
         ),
         patch_valid=state.patch_valid.at[:n].set(True),
     )
@@ -135,6 +150,9 @@ def render_bench():
             "views_per_sec": round(1000.0 / p50, 2),
             "compile_s": round(compile_s, 1),
             "pallas": not bool(os.environ.get("DYNAM3D_DISABLE_PALLAS")),
+            "banded_knn": not bool(os.environ.get("DYNAM3D_DISABLE_BANDED_KNN")),
+            "patches": n,
+            "patch_layout": "walk",
             "backend": jax.default_backend(),
         },
     }))

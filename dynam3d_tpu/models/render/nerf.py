@@ -239,12 +239,26 @@ def _render_core(
     D = cfg.fts_dim
     R = H * W
 
-    # stage 1: density proxy from k-NN over ALL sample points (":538-552")
-    from dynam3d_tpu.ops.pallas_knn import knn_auto
+    # stage 1: density proxy from k-NN over ALL sample points (":538-552").
+    # The banded scan culls (depth-band, point-tile) pairs by bounding box —
+    # radius-exact, which is all this consumer observes (the distances are
+    # clamped at search_radius right below).  DYNAM3D_DISABLE_BANDED_KNN
+    # falls back to the flat scan / opt-in Pallas kernel.
+    import os as _os
 
-    sq_d, _ = knn_auto(
-        ray_xyz.reshape(-1, 3), state.patch_pos, state.patch_valid, K
-    )
+    if _os.environ.get("DYNAM3D_DISABLE_BANDED_KNN"):
+        from dynam3d_tpu.ops.pallas_knn import knn_auto
+
+        sq_d, _ = knn_auto(
+            ray_xyz.reshape(-1, 3), state.patch_pos, state.patch_valid, K
+        )
+    else:
+        from dynam3d_tpu.ops.knn import knn_banded
+
+        sq_d, _ = knn_banded(
+            ray_xyz, state.patch_pos, state.patch_valid, K,
+            cfg.search_radius,
+        )
     d1, _ = radius_mask_fill(sq_d, jnp.zeros_like(sq_d, jnp.int32),
                              cfg.search_radius, clamp_dist=True)
     tmp_density = 1.0 / jnp.maximum(d1.sum(-1).reshape(R, NS), 1e-9)

@@ -1,4 +1,4 @@
-from dynam3d_tpu.ops.knn import knn_brute, knn_tiled, radius_mask_fill
+from dynam3d_tpu.ops.knn import knn_banded, knn_brute, knn_tiled, radius_mask_fill
 from dynam3d_tpu.ops.nms import heatmap_nms
 from dynam3d_tpu.ops.segment import (
     segment_mean,
@@ -7,6 +7,7 @@ from dynam3d_tpu.ops.segment import (
 )
 
 __all__ = [
+    "knn_banded",
     "knn_brute",
     "knn_tiled",
     "radius_mask_fill",

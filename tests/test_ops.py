@@ -140,3 +140,52 @@ def test_depth_plane_segments_splits_on_discontinuity():
     assert len(np.unique(ids2)) == 1
     # fallback
     np.testing.assert_array_equal(np.asarray(zero_segments(4)), [0, 0, 0, 0])
+
+
+def test_knn_banded_radius_exact():
+    """Banded (bbox-culled) k-NN == brute force for every neighbor within
+    the radius, on clustered AND uniform tables, unaligned NS, masks."""
+    import jax.numpy as jnp
+
+    from dynam3d_tpu.ops.knn import knn_banded, knn_brute
+
+    rng = np.random.default_rng(3)
+    R, NS, K, radius = 9, 37, 4, 1.0
+    # ray-structured queries marching outward from the origin
+    dirs = rng.normal(size=(R, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    depth = np.linspace(0.0, 8.0, NS)
+    q = (dirs[:, None, :] * depth[None, :, None]).astype(np.float32)
+    # clustered points near a few of the rays + uniform background
+    pts = np.concatenate([
+        q.reshape(-1, 3)[::3] + rng.normal(scale=0.3, size=(q.reshape(-1, 3)[::3].shape)),
+        rng.uniform(-8, 8, (500, 3)),
+    ]).astype(np.float32)
+    valid = rng.uniform(size=len(pts)) > 0.15
+
+    bd, bi = knn_banded(
+        jnp.asarray(q), jnp.asarray(pts), jnp.asarray(valid), K, radius,
+        tile=256, band=8,
+    )
+    rd, ri = knn_brute(
+        jnp.asarray(q.reshape(-1, 3)), jnp.asarray(pts), jnp.asarray(valid), K
+    )
+    bd, rd = np.asarray(bd), np.asarray(rd)
+    bi, ri = np.asarray(bi), np.asarray(ri)
+    in_r = rd < radius * radius
+    np.testing.assert_allclose(bd[in_r], rd[in_r], rtol=1e-3, atol=1e-5)
+    # indices agree up to distance ties / summation-order noise: the
+    # distance AT the returned index must match the reported distance
+    d_at = ((q.reshape(-1, 3)[:, None, :] - pts[bi]) ** 2).sum(-1)
+    np.testing.assert_allclose(
+        d_at[in_r], bd[in_r], rtol=1e-3, atol=1e-4
+    )
+    # beyond the radius the banded result never reports a smaller distance
+    assert (bd[~in_r] >= rd[~in_r] * (1 - 1e-4) - 1e-4).all()
+
+    # all-invalid table: everything surfaces as dead
+    bd2, _ = knn_banded(
+        jnp.asarray(q), jnp.asarray(pts), jnp.zeros(len(pts), bool), K, radius,
+        tile=256, band=8,
+    )
+    assert (np.asarray(bd2) >= 1e9).all()
