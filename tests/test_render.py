@@ -34,8 +34,8 @@ def _state_with_cloud(n=100, seed=0):
     pos[:, 1] = np.abs(pos[:, 1]) + 1.0  # in front (world +y)
     fts = rng.normal(size=(n, CFG.fts_dim)).astype(np.float32)
     return state._replace(
-        patch_pos=state.patch_pos.at[:n].set(jnp.asarray(pos)),
-        patch_fts=state.patch_fts.at[:n].set(jnp.asarray(fts)),
+        patch_pos=state.patch_pos.at[:n].set(jnp.asarray(pos, state.patch_pos.dtype)),
+        patch_fts=state.patch_fts.at[:n].set(jnp.asarray(fts, state.patch_fts.dtype)),
         patch_dir=state.patch_dir.at[:n].set(0.3),
         patch_scale=state.patch_scale.at[:n].set(0.05),
         patch_valid=state.patch_valid.at[:n].set(True),
