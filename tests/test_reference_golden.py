@@ -444,19 +444,217 @@ def test_update_matches_actual_reference_code(monkeypatch):
     live_checked = 0
     for key, zid in ref_keys.items():
         members = ff.global_zone_to_instance_dict[0][zid]
+        if len(members) == 0:
+            continue  # stale row the reference keeps; this build invalidates
         mine = np.where(
             zvalid & (np.abs(zkeys - np.asarray(key)).sum(-1) < 1e-4)
         )[0]
-        if len(members) > 0 and len(mine):
-            np.testing.assert_allclose(
-                zfts[mine[0]], ref_zfts[zid], rtol=3e-2, atol=3e-2,
-                err_msg=f"zone {key}",
-            )
-            live_checked += 1
+        # two-sided: every LIVE reference zone must exist in the build
+        assert len(mine), f"live reference zone {key} missing from the build"
+        np.testing.assert_allclose(
+            zfts[mine[0]], ref_zfts[zid], rtol=3e-2, atol=3e-2,
+            err_msg=f"zone {key}",
+        )
+        live_checked += 1
     assert live_checked >= 4  # the run produces >=5 live shared zones
     # no zone here that the reference never allocated
     for slot in np.where(zvalid)[0]:
         assert tuple(np.round(zkeys[slot], 4)) in ref_keys
+
+
+def test_delete_reinsert_cycle_matches_actual_reference(monkeypatch):
+    """Frustum delete + re-insert through the REAL reference code: tombstone
+    masks must match after ``delete_old_features_from_camera_frustum``
+    (feature_fields.py:329-396), and after the next update step the reused
+    instance ids / patch ownership must agree — pinning the slot-reuse path
+    (assign_new_*_ids, ":433-475") against the actual reference, including
+    the documented id-row aliasing divergence for patches/zones (state.py)."""
+    from dynam3d_tpu.config import FieldsConfig
+    from dynam3d_tpu.models.memory3d import (
+        delete_from_frustum,
+        init_state,
+        update_view,
+    )
+    from dynam3d_tpu.runtime.checkpoint import field_params_from_torch
+
+    H = W = 4
+    HW = H * W
+    D = 64
+    mod = _load_reference_feature_fields(
+        monkeypatch,
+        ["--fts_dim", str(D), "--input_height", str(H), "--input_width", str(W)],
+    )
+    torch.manual_seed(3)
+    ff = mod.Feature_Fields(batch_size=1, device="cpu").eval()
+    monkeypatch.setattr(
+        torch.cuda, "get_device_properties",
+        lambda dev: types.SimpleNamespace(total_memory=32 * 1024**3),
+    )
+    monkeypatch.setattr(torch.cuda, "memory_allocated", lambda dev: 0)
+
+    cfg = FieldsConfig(
+        input_height=H, input_width=W, fts_dim=D,
+        patch_capacity=256, instance_capacity=64, zone_capacity=32,
+        max_segments=8, max_members=64, max_zone_members=16,
+    )
+    params = field_params_from_torch(ff.state_dict())
+    rng = np.random.default_rng(7)
+    state = init_state(cfg)
+
+    class _LegacyEqArray(np.ndarray):
+        # see test_update_matches_actual_reference_code: restore old-numpy
+        # ``array == []`` -> False semantics the reference relies on
+        def __eq__(self, other):
+            if isinstance(other, list) and not other:
+                return False
+            return np.ndarray.__eq__(self, other)
+
+    def _rewrap():
+        for attr in ("global_patch_position", "global_patch_fts",
+                     "global_patch_scales", "global_patch_directions"):
+            cur = getattr(ff, attr)[0]
+            if isinstance(cur, np.ndarray):
+                getattr(ff, attr)[0] = cur.view(_LegacyEqArray)
+
+    def both_update(state, t, depth=None, segm=None):
+        if depth is None:
+            depth = rng.uniform(1.0, 6.0, (1, HW)).astype(np.float32)
+        if segm is None:
+            segm = np.repeat(rng.permutation(4), 4).astype(np.int32)
+        grid = rng.normal(size=(HW, D)).astype(np.float32)
+        pos_hab = np.float32([0.3 * t, 1.25, 2.0 - 0.2 * t])
+        heading = np.float32(0.2 * t)
+        seg_t = torch.tensor(segm.reshape(1, 1, H, W), dtype=torch.int64)
+        monkeypatch.setattr(ff, "get_patch_segm", lambda imgs, **kw: seg_t)
+        _rewrap()
+        with torch.no_grad():
+            ff.update_feature_fields(
+                batch_depth=[depth], batch_grid_ft=[grid[None]],
+                batch_image=np.zeros((1, 1, 8, 8, 3), np.uint8),
+                batch_position=[pos_hab], batch_heading=[heading],
+                num_of_views=1,
+            )
+        pos_world = jnp.asarray([pos_hab[0], -pos_hab[2], pos_hab[1]])
+        grid16 = grid.astype(np.float16).astype(np.float32)
+        state, _ = update_view(
+            params, state, cfg, jnp.asarray(depth[0]), jnp.asarray(grid16),
+            jnp.asarray(segm), pos_world, jnp.asarray(heading),
+        )
+        return state
+
+    # step 0: segment 0's patches all sit at depth 1.5 (inside the delete
+    # far plane of 3.0), the rest at 5.5 (outside) — so exactly one
+    # instance is fully consumed by the frustum delete below
+    d0 = np.full((1, HW), 5.5, np.float32)
+    d0[0, :4] = 1.5
+    s0 = np.repeat(np.arange(4), 4).astype(np.int32)
+    state = both_update(state, 0, depth=d0, segm=s0)
+    n_rows = ff.global_patch_position[0].shape[0]
+    n_inst_rows = ff.global_instance_position[0].shape[0]
+    pre_patch_valid = np.asarray(state.patch_valid).copy()
+
+    # ---- frustum delete at the step-0 camera pose, generous camera depth
+    # so the visibility test (ref ":353" camera_depth + 0.1) passes ----
+    del_depth = np.full((H, W), 8.0, np.float32)
+    pos_hab = np.float32([0.0, 1.25, 2.0])
+    heading = np.float32(0.0)
+    with torch.no_grad():
+        ff.delete_old_features_from_camera_frustum(
+            batch_depth=[torch.tensor(del_depth)[None]],
+            batch_position=[pos_hab],
+            batch_heading=[heading], num_of_views=1,
+        )
+    pos_world = jnp.asarray([pos_hab[0], -pos_hab[2], pos_hab[1]])
+    state = delete_from_frustum(
+        state, cfg, jnp.asarray(del_depth), pos_world, jnp.asarray(heading)
+    )
+
+    # ---- tombstone parity ----
+    ref_dead_patch = (
+        np.asarray(ff.global_patch_position[0]) <= -9999.0
+    ).all(-1)
+    my_dead_patch = pre_patch_valid[:n_rows] & ~np.asarray(
+        state.patch_valid
+    )[:n_rows]
+    assert ref_dead_patch.sum() >= 2, "delete frustum missed the cloud"
+    np.testing.assert_array_equal(my_dead_patch, ref_dead_patch)
+
+    ref_dead_inst = (
+        ff.global_instance_position[0].numpy() <= -9999.0
+    ).all(-1)
+    assert ref_dead_inst.sum() >= 1, "no instance died — weak fixture"
+    inst_valid = np.asarray(state.inst_valid)
+    np.testing.assert_array_equal(~inst_valid[:n_inst_rows], ref_dead_inst)
+
+    # zone key sets agree (two-sided) after the delete
+    ref_zone_keys = {
+        tuple(np.round(np.asarray(k), 4))
+        for k in ff.global_zone_key_to_id[0]
+    }
+    my_zone_keys = {
+        tuple(np.round(np.asarray(state.zone_key)[s], 4))
+        for s in np.where(np.asarray(state.zone_valid))[0]
+    }
+    assert my_zone_keys == ref_zone_keys
+
+    # ---- re-insert: one update step drives the slot-reuse path ----
+    state = both_update(state, 1)
+
+    # id allocation parity: the reference's lowest-free-id scan must agree
+    # with our first-free-slot allocation — same live instance ids, same
+    # patch->instance ownership for every dict entry (reused ids included)
+    owners = np.asarray(state.patch_owner)
+    assert any(
+        pid < n_rows for pid in ff.global_patch_to_instance_dict[0]
+    ), "no patch id was reused — fixture too weak to pin the reuse path"
+    for pid, iid in ff.global_patch_to_instance_dict[0].items():
+        assert owners[pid] == iid, (pid, owners[pid], iid)
+    inst_valid = np.asarray(state.inst_valid)
+    ref_live = sorted(ff.global_instance_to_patch_dict[0])
+    assert sorted(np.where(inst_valid)[0].tolist()) == ref_live
+
+    # VALUE parity is only definable against the reference's evident intent:
+    # its merge path re-reads member patches BY ID (":662-663") while reused
+    # ids alias tombstoned rows (fresh data was appended, ":556-570"), so
+    # after a delete the reference's own merged-instance values are corrupted
+    # by -10000 reads.  Witness that the bug is real in the loaded reference:
+    ref_pos = ff.global_instance_position[0].numpy()
+    assert (np.abs(ref_pos[ref_live]) > 1000).any(), (
+        "expected the reference's aliasing corruption; did upstream fix it? "
+        "If so, drop the divergence note and compare directly."
+    )
+    # ... then pin OUR values to the un-aliased recompute: reused id p was
+    # assigned (lowest-first) to fresh patch k = index_of(p) with its data
+    # appended at row n_rows + k, so the intended member positions are
+    # row_of(p) = n_rows + assigned.index(p) if reused else p.
+    assigned = [0, 1, 2, 3] + list(range(n_rows, n_rows + 12))
+    ref_rows = np.asarray(ff.global_patch_position[0])
+
+    def row_of(p):
+        return n_rows + assigned.index(p) if p in assigned else p
+
+    my_pos = np.asarray(state.inst_pos)
+    for iid in ref_live:
+        members = [row_of(int(p)) for p in ff.global_instance_to_patch_dict[0][iid]]
+        want = ref_rows[members].mean(0)
+        assert (np.abs(want) < 100).all(), "recompute hit a stale row"
+        np.testing.assert_allclose(
+            my_pos[iid], want, rtol=1e-3, atol=1e-3,
+            err_msg=f"instance {iid} diverges from the un-aliased intent",
+        )
+
+    # our zone table stays sane after the cycle: live zones exist and no
+    # key is tombstone-contaminated.  (Stronger zone parity is pinned by
+    # the keyset check right after the delete and by the no-delete golden
+    # test above; post-reinsert the reference's zone keys derive from its
+    # corrupted instance reads, so value parity is undefined there.  Keys
+    # come from OBSERVED cluster-center cells, not final merged positions,
+    # so no instance-cell containment holds in either implementation.)
+    zvalid = np.asarray(state.zone_valid)
+    zkeys = np.asarray(state.zone_key)
+    assert zvalid.any()
+    for s in np.where(zvalid)[0]:
+        assert (np.abs(zkeys[s]) < 100).all()
 
 
 # ===========================================================================
