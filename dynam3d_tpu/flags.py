@@ -1,0 +1,47 @@
+"""Feature gates, read ONCE at import time.
+
+These env vars select between compiled code paths, so they are read inside
+traced (jitted) functions.  Reading ``os.environ`` lazily at trace time is a
+footgun: flipping a var after the first compile (or hitting the persistent
+XLA cache) silently has no effect in that process.  All gates therefore
+resolve to module constants here, at first import of ``dynam3d_tpu`` — set
+them in the environment BEFORE importing the package.  Tests that need to
+flip a gate monkeypatch the constant (e.g. ``dynam3d_tpu.flags.DISABLE_PALLAS``)
+and clear jit caches, not the environment.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def _on(name: str, default: str = "") -> bool:
+    return os.environ.get(name, default) not in ("", "0", "false")
+
+
+#: Disable every Pallas kernel (pure-XLA fallbacks everywhere).
+DISABLE_PALLAS: bool = _on("DYNAM3D_DISABLE_PALLAS")
+
+#: Opt-in experimental Pallas kNN (measured slower than wide top_k; off).
+ENABLE_PALLAS_KNN: bool = _on("DYNAM3D_ENABLE_PALLAS_KNN")
+
+#: Opt-in 2D-grid int4 matvec variant (measured neutral; off).
+INT4_GRID2D: bool = _on("DYNAM3D_INT4_GRID2D")
+
+#: Disable the depth-band x tile-bbox culled ray kNN in the render path.
+DISABLE_BANDED_KNN: bool = _on("DYNAM3D_DISABLE_BANDED_KNN")
+
+#: Disable the Morton pre-sort feeding the banded kNN's tile bboxes.
+DISABLE_MORTON_KNN: bool = _on("DYNAM3D_DISABLE_MORTON_KNN")
+
+#: Fused int4 gate+up matvec in the decode MLP (default on).
+INT4_FUSED_MLP: bool = _on("DYNAM3D_INT4_FUSED_MLP", "1")
+
+#: Per-shape nblk tuning for the int4 matvec (measured worse in-loop; off).
+INT4_PER_SHAPE_NBLK: bool = _on("DYNAM3D_INT4_PER_SHAPE_NBLK")
+
+#: Fused decode-layer attention kernel (ops/pallas_decode.py): rmsnorm +
+#: int4 qkv + rope + cached attention + o-proj in one Pallas program.
+#: Applies to B=1 int4 decode at unpadded dims.  Opt-in until the on-chip
+#: A/B lands (tools/ab_fused_decode.py).
+FUSED_DECODE_ATTN: bool = _on("DYNAM3D_FUSED_ATTN")

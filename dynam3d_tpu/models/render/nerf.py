@@ -101,13 +101,13 @@ def nerf_mlp(p: Params, x: jnp.ndarray, cfg: FieldsConfig) -> Tuple[jnp.ndarray,
     custom VJP through the jnp chain (training differentiates this path:
     losses_3dff backprops through render_view).
     """
-    import os
+    from dynam3d_tpu import flags
 
     if (
         jax.default_backend() == "tpu"
         and len(p["enc_hidden"]) == 2
         and len(p["dec_hidden"]) == 2
-        and not os.environ.get("DYNAM3D_DISABLE_PALLAS")
+        and not flags.DISABLE_PALLAS
     ):
         return _pallas_nerf_mlp(
             x, p["enc_hidden"][0], p["enc_hidden"][1], p["enc_out"],
@@ -244,21 +244,28 @@ def _render_core(
     # radius-exact, which is all this consumer observes (the distances are
     # clamped at search_radius right below).  DYNAM3D_DISABLE_BANDED_KNN
     # falls back to the flat scan / opt-in Pallas kernel.
-    import os as _os
+    from dynam3d_tpu import flags
 
-    if _os.environ.get("DYNAM3D_DISABLE_BANDED_KNN"):
+    if flags.DISABLE_BANDED_KNN:
         from dynam3d_tpu.ops.pallas_knn import knn_auto
 
         sq_d, _ = knn_auto(
             ray_xyz.reshape(-1, 3), state.patch_pos, state.patch_valid, K
         )
     else:
-        from dynam3d_tpu.ops.knn import knn_banded
+        from dynam3d_tpu.ops.knn import knn_banded, morton_perm
 
-        sq_d, _ = knn_banded(
-            ray_xyz, state.patch_pos, state.patch_valid, K,
-            cfg.search_radius,
-        )
+        # Morton-sort the table first so each 2048-point tile covers a
+        # spatially tight box (insertion order scatters revisited areas
+        # across tiles, bloating the culling bboxes).  Stage 1 discards the
+        # neighbor INDICES — only the distance field is consumed — so
+        # permuting its inputs is exactly equivalent.
+        if flags.DISABLE_MORTON_KNN:
+            ppos, pval = state.patch_pos, state.patch_valid
+        else:
+            perm = morton_perm(state.patch_pos, state.patch_valid)
+            ppos, pval = state.patch_pos[perm], state.patch_valid[perm]
+        sq_d, _ = knn_banded(ray_xyz, ppos, pval, K, cfg.search_radius)
     d1, _ = radius_mask_fill(sq_d, jnp.zeros_like(sq_d, jnp.int32),
                              cfg.search_radius, clamp_dist=True)
     tmp_density = 1.0 / jnp.maximum(d1.sum(-1).reshape(R, NS), 1e-9)

@@ -239,3 +239,42 @@ def radius_mask_fill(
     if clamp_dist:
         d = jnp.where(out_of_range, radius, d)
     return d, idx
+
+
+def _spread10(x: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low 10 bits of int32 ``x`` to every 3rd bit (Morton)."""
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def morton_codes(points: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """30-bit Morton (Z-order) codes over the VALID points' bounding box.
+
+    Each axis is quantized to 10 bits over the live bbox; invalid slots get
+    the maximal code so a sort pushes them to the end.  Nearby points in
+    space get nearby codes, which is exactly what :func:`knn_banded`'s
+    per-tile bounding boxes need — the patch table is filled in insertion
+    order, so a walk that revisits an area scatters spatially-close patches
+    across distant tiles, bloating the boxes the culling tests.
+    """
+    big = jnp.where(valid[:, None], points, jnp.nan)
+    lo = jnp.nanmin(big, axis=0)
+    hi = jnp.nanmax(big, axis=0)
+    span = jnp.maximum(hi - lo, 1e-6)
+    q = jnp.clip(
+        ((points - lo) / span * 1023.0), 0.0, 1023.0
+    ).astype(jnp.int32)
+    code = (
+        _spread10(q[:, 0])
+        | (_spread10(q[:, 1]) << 1)
+        | (_spread10(q[:, 2]) << 2)
+    )
+    return jnp.where(valid, code, jnp.int32(0x7FFFFFFF))
+
+
+def morton_perm(points: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Permutation sorting the table into Morton order (invalid slots last)."""
+    return jnp.argsort(morton_codes(points, valid), stable=True)

@@ -35,7 +35,6 @@ that path rather than translating it.
 from __future__ import annotations
 
 import functools
-import os
 from typing import Tuple
 
 import jax
@@ -43,6 +42,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from dynam3d_tpu import flags
 
 
 def _round_up(x: int, m: int) -> int:
@@ -395,7 +396,7 @@ def int4_mlp(
         # column count had no padding (I a multiple of nblk) — true at
         # Phi-3 dims (8192/512); tiny configs fall back
         and gate_up.n == 2 * gate_up.q4.shape[1]
-        and not os.environ.get("DYNAM3D_DISABLE_PALLAS")
+        and not flags.DISABLE_PALLAS
     )
     if not use_pallas:
         h = int4_matmul(x, gate_up, out_dtype=jnp.float32)
@@ -443,10 +444,10 @@ def int4_matmul(x: jnp.ndarray, w: Int4Weight, out_dtype=None) -> jnp.ndarray:
     use_pallas = (
         jax.default_backend() == "tpu"
         and rows <= 16
-        and not os.environ.get("DYNAM3D_DISABLE_PALLAS")
+        and not flags.DISABLE_PALLAS
     )
     if use_pallas:
-        if os.environ.get("DYNAM3D_INT4_GRID2D"):
+        if flags.INT4_GRID2D:
             y = _pallas_int4_matmul2d(xp, w)
         else:
             y = _pallas_int4_matmul(xp, w)

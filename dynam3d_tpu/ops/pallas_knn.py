@@ -149,14 +149,14 @@ def knn_auto(
     register-allocator spills at the 72k x 32k renderer shape (3 hardware
     attempts, see git history), so the kernel is opt-in via
     ``DYNAM3D_ENABLE_PALLAS_KNN=1`` until the lowering improves."""
-    import os
-
     import jax as _jax
+
+    from dynam3d_tpu import flags
 
     if (
         _jax.default_backend() == "tpu"
         and points.shape[0] >= 1024
-        and os.environ.get("DYNAM3D_ENABLE_PALLAS_KNN")
+        and flags.ENABLE_PALLAS_KNN
     ):
         return pallas_knn(queries, points, valid, k)
     from dynam3d_tpu.ops.knn import knn_tiled

@@ -189,3 +189,80 @@ def test_knn_banded_radius_exact():
         tile=256, band=8,
     )
     assert (np.asarray(bd2) >= 1e9).all()
+
+
+def test_morton_perm_orders_spatially():
+    """Morton codes: valid permutation, invalids pushed last, and tile
+    bboxes over the sorted table are tighter than insertion order (the
+    property knn_banded's culling depends on)."""
+    import jax.numpy as jnp
+
+    from dynam3d_tpu.ops.knn import morton_codes, morton_perm
+
+    rng = np.random.default_rng(0)
+    # walk-style insertion: 8 revisited clusters interleaved over time
+    centers = rng.uniform(-5, 5, (8, 3))
+    pts = np.concatenate([
+        centers[i % 8] + rng.normal(scale=0.3, size=(64, 3))
+        for i in range(32)
+    ]).astype(np.float32)
+    valid = np.ones(len(pts), bool)
+    valid[100:120] = False
+
+    perm = np.asarray(morton_perm(jnp.asarray(pts), jnp.asarray(valid)))
+    assert sorted(perm.tolist()) == list(range(len(pts)))  # a permutation
+    # invalid slots sort to the end
+    assert not valid[perm][: valid.sum()].sum() < valid.sum()
+    assert not valid[perm][valid.sum():].any()
+
+    def tile_bbox_volume(order):
+        p = pts[order]
+        v = valid[order]
+        vol = 0.0
+        for s in range(0, len(p), 256):
+            q = p[s : s + 256][v[s : s + 256]]
+            if len(q):
+                vol += np.prod(q.max(0) - q.min(0))
+        return vol
+
+    v_sorted = tile_bbox_volume(perm)
+    v_insert = tile_bbox_volume(np.arange(len(pts)))
+    assert v_sorted < v_insert * 0.5, (v_sorted, v_insert)
+
+    # all-invalid table: codes are all sentinels, no NaN poisoning
+    codes = np.asarray(
+        morton_codes(jnp.asarray(pts), jnp.zeros(len(pts), bool))
+    )
+    assert (codes == 0x7FFFFFFF).all()
+
+
+def test_render_identical_with_morton_sort():
+    """Permuting the stage-1 table must not change the rendered output
+    (stage 1 only consumes distances)."""
+    import jax.numpy as jnp
+
+    from dynam3d_tpu.ops.knn import knn_banded, morton_perm
+
+    rng = np.random.default_rng(5)
+    R, NS, K, radius = 6, 21, 4, 1.0
+    dirs = rng.normal(size=(R, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    q = (dirs[:, None, :] * np.linspace(0, 6, NS)[None, :, None]).astype(
+        np.float32
+    )
+    pts = rng.uniform(-6, 6, (700, 3)).astype(np.float32)
+    valid = rng.uniform(size=700) > 0.2
+
+    d0, _ = knn_banded(
+        jnp.asarray(q), jnp.asarray(pts), jnp.asarray(valid), K, radius,
+        tile=128, band=8,
+    )
+    perm = morton_perm(jnp.asarray(pts), jnp.asarray(valid))
+    d1, _ = knn_banded(
+        jnp.asarray(q), jnp.asarray(pts)[perm], jnp.asarray(valid)[perm],
+        K, radius, tile=128, band=8,
+    )
+    in_r = np.asarray(d0) < radius * radius
+    np.testing.assert_allclose(
+        np.asarray(d1)[in_r], np.asarray(d0)[in_r], rtol=1e-4, atol=1e-5
+    )
