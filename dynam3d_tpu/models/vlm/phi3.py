@@ -119,13 +119,13 @@ def _mlp(p: Params, h: jnp.ndarray) -> jnp.ndarray:
     rows = 1
     for s in h.shape[:-1]:
         rows *= s
-    import os
+    from dynam3d_tpu import flags
 
     if (
         isinstance(gu, dict) and "q4" in gu
         and isinstance(dn, dict) and "q4" in dn
         and rows <= 16
-        and os.environ.get("DYNAM3D_INT4_FUSED_MLP", "1") not in ("0", "false")
+        and flags.INT4_FUSED_MLP
     ):
         from dynam3d_tpu.ops.pallas_int4 import int4_mlp
 
@@ -249,6 +249,76 @@ def prefill_mask(attn_valid: jnp.ndarray, cache_len: int) -> jnp.ndarray:
     return m
 
 
+def _fused_decode_eligible(params: Params, cfg: Phi3Config, batch: int) -> bool:
+    """The fused decode-attention kernel applies to B=1 serving with fused
+    int4 qkv/o at unpadded dims and MHA (ops/pallas_decode.py docstring)."""
+    from dynam3d_tpu import flags
+
+    if not (
+        flags.FUSED_DECODE_ATTN
+        and batch == 1
+        and jax.default_backend() == "tpu"
+        and cfg.num_heads == cfg.num_kv_heads
+        and cfg.num_heads * cfg.head_dim == cfg.hidden_size
+    ):
+        return False
+    p0 = params["layers"][0]
+    qkv, o = p0.get("qkv"), p0.get("o")
+    D = cfg.hidden_size
+    return (
+        isinstance(qkv, dict) and "q4" in qkv
+        and isinstance(o, dict) and "q4" in o
+        and qkv["q4"].d == D and qkv["q4"].n == 3 * D
+        and qkv["q4"].n == 2 * qkv["q4"].q4.shape[1]   # no packing padding
+        and o["q4"].d == D and o["q4"].n == D
+        and o["q4"].n == 2 * o["q4"].q4.shape[1]
+        and qkv["q4"].dblk == o["q4"].dblk
+    )
+
+
+def _decode_forward_fused(
+    params: Params,
+    cfg: Phi3Config,
+    embeds: jnp.ndarray,          # [1,1,D]
+    positions: jnp.ndarray,       # [1,1] rope position
+    cache: KVCache,               # flat [L,1,Tmax,D] layout
+    write_at,
+    valid: jnp.ndarray,           # [1,Tmax] attendable slots (incl. current)
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Decode step over the fused attention kernel (ops/pallas_decode.py):
+    one Pallas program per layer covers rmsnorm + qkv + rope + cached
+    attention + o-proj; the MLP half stays on the fused int4 MLP kernel."""
+    from dynam3d_tpu.ops.pallas_decode import decode_attn_layer
+
+    D = cfg.hidden_size
+    half = cfg.head_dim // 2
+    freqs = cfg.rope_theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    ang = positions[0, 0].astype(jnp.float32) * freqs
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    # the kernel folds the current token in from registers; exclude its slot
+    mask_row = valid[0].at[write_at].set(False)
+
+    x = embeds
+    ck, cv = cache.k, cache.v
+    for li in range(cfg.num_layers):
+        p = params["layers"][li]
+        x, k_new, v_new = decode_attn_layer(
+            x, p["input_ln"], p["qkv"]["q4"], p["o"]["q4"], ck, cv,
+            li, write_at, mask_row, cos, sin,
+            eps=cfg.rms_eps, heads=cfg.num_heads, hd=cfg.head_dim,
+        )
+        ck = jax.lax.dynamic_update_slice(
+            ck, k_new.reshape(1, 1, 1, D), (li, 0, write_at, 0)
+        )
+        cv = jax.lax.dynamic_update_slice(
+            cv, v_new.reshape(1, 1, 1, D), (li, 0, write_at, 0)
+        )
+        h = rms_norm(p["post_ln"], x, cfg.rms_eps)
+        x = x + _mlp(p, h)
+    x = rms_norm(params["final_ln"], x, cfg.rms_eps)
+    return _lm_head(params, x), KVCache(ck, cv)
+
+
 def greedy_decode(
     params: Params,
     cfg: Phi3Config,
@@ -265,7 +335,14 @@ def greedy_decode(
     padded with ``pad_token_id`` after stop).
     """
     B, T, D = embeds.shape
+    use_fused = _fused_decode_eligible(params, cfg, B)
     total = T + max_new_tokens
+    if use_fused:
+        # the fused kernel streams the cache in fixed 512-row blocks
+        from dynam3d_tpu.ops import pallas_decode
+
+        total = ((total + pallas_decode._ROWS - 1) // pallas_decode._ROWS
+                 ) * pallas_decode._ROWS
     cache = init_cache(cfg, B, total, dtype=embeds.dtype)
     positions = jnp.cumsum(attn_valid.astype(jnp.int32), axis=1) - 1
     positions = jnp.maximum(positions, 0)
@@ -279,13 +356,28 @@ def greedy_decode(
     out0 = jnp.full((B, max_new_tokens), cfg.pad_token_id, jnp.int32)
     done0 = next_tok == stop
 
+    if use_fused:
+        # flatten to the kernel's [L,B,Tmax,D] row layout (a free reshape of
+        # the contiguous [L,B,Tmax,H,hd] cache)
+        L = cfg.num_layers
+        cache = KVCache(
+            cache.k.reshape(L, B, total, D), cache.v.reshape(L, B, total, D)
+        )
+
     def body(i, carry):
         cache, tok, done, out, valid = carry
         out = out.at[:, i].set(tok.astype(jnp.int32))
         e = embed(params, tok)[:, None, :].astype(embeds.dtype)
         pos = (jnp.sum(valid, axis=1) - 1)[:, None]
-        m = valid[:, None, :]
-        logits, cache = decode_forward(params, cfg, e, pos, cache, T + i, m)
+        if use_fused:
+            logits, cache = _decode_forward_fused(
+                params, cfg, e, pos, cache, T + i, valid
+            )
+        else:
+            m = valid[:, None, :]
+            logits, cache = decode_forward(
+                params, cfg, e, pos, cache, T + i, m
+            )
         nxt = jnp.argmax(logits[:, 0], axis=-1)
         done = done | (tok == stop)
         nxt = jnp.where(done, stop, nxt)
@@ -293,9 +385,10 @@ def greedy_decode(
         valid = valid.at[:, T + i + 1].set(True)
         return cache, nxt, done, out, valid
 
-    # extend validity over generated slots
+    # extend validity over generated slots (plus any fused-path cache
+    # round-up slots, which stay invalid forever)
     valid0 = jnp.concatenate(
-        [attn_valid, jnp.zeros((B, max_new_tokens), bool)], axis=1
+        [attn_valid, jnp.zeros((B, total - T), bool)], axis=1
     )
     valid0 = valid0.at[:, T].set(True)
 
@@ -392,7 +485,7 @@ def quantize_phi3(params: Params, bits: int = 8, consume: bool = False) -> Param
             # few column blocks) and narrow ones (o-proj) pipeline better
             # with 1024-wide blocks; wide mats (gate_up/qkv/lm_head) peak
             # at 512.
-            import os
+            from dynam3d_tpu import flags
 
             # per-shape nblk looked better in isolated matvec microbenches
             # (o/down prefer 1024-wide blocks) but measures WORSE inside the
@@ -400,7 +493,7 @@ def quantize_phi3(params: Params, bits: int = 8, consume: bool = False) -> Param
             # A/B) — uniform 512 stays the default; opt in to re-test.
             d_w, n_w = wf.shape
             nblk = 512
-            if os.environ.get("DYNAM3D_INT4_PER_SHAPE_NBLK") in ("1", "true"):
+            if flags.INT4_PER_SHAPE_NBLK:
                 nblk = 1024 if (d_w >= 4096 or n_w <= 4096) else 512
             out["q4"] = pack_int4(wf, nblk=nblk)
         return out

@@ -187,3 +187,180 @@ def test_full_step_fused_matches_two_phase():
         jnp.asarray(ids), jnp.asarray(val), splice,
     )
     np.testing.assert_array_equal(np.asarray(gen1), np.asarray(gen2))
+
+
+def test_fused_decode_attn_matches_reference():
+    """Fused decode-layer attention kernel (interpret mode) == the unfused
+    reference chain: rmsnorm -> dequant qkv matvec -> rope -> masked cached
+    attention -> dequant o matvec -> residual."""
+    import math
+
+    from dynam3d_tpu.ops.pallas_decode import decode_attn_layer
+    from dynam3d_tpu.ops.pallas_int4 import pack_int4, int4_matmul
+
+    rng = np.random.default_rng(11)
+    D, heads, hd = 256, 4, 64
+    half = hd // 2
+    L, tmax, li, pos = 3, 512, 1, 77
+    eps = 1e-5
+
+    wqkv = rng.normal(scale=0.05, size=(D, 3 * D)).astype(np.float32)
+    wo = rng.normal(scale=0.05, size=(D, D)).astype(np.float32)
+    qkv_p = pack_int4(jnp.asarray(wqkv), dblk=128, nblk=128)
+    o_p = pack_int4(jnp.asarray(wo), dblk=128, nblk=128)
+    ln_w = jnp.asarray(rng.normal(scale=0.2, size=(D,)) + 1.0, jnp.float32)
+
+    x = jnp.asarray(rng.normal(size=(1, 1, D)), jnp.bfloat16)
+    ck = jnp.zeros((L, 1, tmax, D), jnp.bfloat16)
+    cv = jnp.zeros((L, 1, tmax, D), jnp.bfloat16)
+    ck = ck.at[li, 0, :pos].set(
+        jnp.asarray(rng.normal(size=(pos, D)), jnp.bfloat16)
+    )
+    cv = cv.at[li, 0, :pos].set(
+        jnp.asarray(rng.normal(size=(pos, D)), jnp.bfloat16)
+    )
+    # mask: prompt rows 0..59 valid, 60..64 padding holes, 65..pos generated
+    mask = np.zeros(tmax, np.float32)
+    mask[:60] = 1.0
+    mask[65:pos] = 1.0
+
+    position = pos  # rope position of the current token
+    freqs = 1e4 ** (-np.arange(half) / half)
+    cos = jnp.asarray(np.cos(position * freqs), jnp.float32)
+    sin = jnp.asarray(np.sin(position * freqs), jnp.float32)
+
+    out, k_new, v_new = decode_attn_layer(
+        x, ln_w, qkv_p, o_p, ck, cv, li, pos, jnp.asarray(mask), cos, sin,
+        eps=eps, heads=heads, hd=hd, interpret=True,
+    )
+
+    # ---- unfused reference (same quantized weights) ----
+    xf = np.asarray(x, np.float32).reshape(1, D)
+    var = (xf * xf).mean(-1, keepdims=True)
+    h = (xf / np.sqrt(var + eps) * np.asarray(ln_w)).astype(np.float32)
+    h = jnp.asarray(h, jnp.bfloat16)
+    y = np.asarray(int4_matmul(h, qkv_p, out_dtype=jnp.float32))
+
+    def rope(v):
+        vv = v.reshape(heads, hd).astype(np.float32)
+        v1, v2 = vv[:, :half], vv[:, half:]
+        c, s = np.cos(position * freqs), np.sin(position * freqs)
+        return np.concatenate([v1 * c - v2 * s, v2 * c + v1 * s], -1)
+
+    q_r = rope(y[0, :D].astype(np.float32)).astype(np.float32)
+    k_r = rope(y[0, D : 2 * D]).astype(np.float32)
+    v_r = y[0, 2 * D :].reshape(heads, hd).astype(np.float32)
+
+    np.testing.assert_allclose(
+        np.asarray(k_new, np.float32).reshape(heads, hd), k_r,
+        rtol=2e-2, atol=2e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(v_new, np.float32).reshape(heads, hd), v_r,
+        rtol=2e-2, atol=2e-2,
+    )
+
+    kk = np.asarray(ck[li, 0], np.float32).reshape(tmax, heads, hd)
+    vv = np.asarray(cv[li, 0], np.float32).reshape(tmax, heads, hd)
+    kk[pos] = k_r
+    vv[pos] = v_r
+    att_mask = mask.astype(bool).copy()
+    att_mask[pos] = True
+    logits = np.einsum("hd,thd->ht", q_r, kk) / math.sqrt(hd)
+    logits[:, ~att_mask] = -1e30
+    p = np.exp(logits - logits.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    ctx = np.einsum("ht,thd->hd", p, vv).reshape(1, D)
+    o_out = np.asarray(
+        int4_matmul(jnp.asarray(ctx, jnp.bfloat16), o_p, out_dtype=jnp.float32)
+    )
+    want = np.asarray(x, np.float32).reshape(1, D) + o_out
+
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32).reshape(1, D), want,
+        rtol=5e-2, atol=5e-2,
+    )
+
+
+def test_fused_decode_forward_matches_unfused(monkeypatch):
+    """_decode_forward_fused (fused attention kernel per layer, interpret
+    mode) == decode_forward on the XLA int4 path: same logits and same
+    cache rows, at eligible dims with prompt-padding holes in the mask."""
+    import functools
+
+    from dynam3d_tpu.config import Phi3Config
+    from dynam3d_tpu.models.vlm import phi3
+    from dynam3d_tpu.ops import pallas_decode
+    from dynam3d_tpu.ops.pallas_int4 import pack_int4
+
+    cfg = Phi3Config(
+        vocab_size=512, hidden_size=256, intermediate_size=512,
+        num_layers=2, num_heads=4, num_kv_heads=4, head_dim=64,
+        pad_token_id=260, end_token_id=257,
+    )
+    params = phi3.init_phi3_params(jax.random.PRNGKey(0), cfg)
+    qparams = phi3.quantize_phi3(params, bits=4)
+    # repack qkv/o without padding (the eligibility the kernel requires);
+    # the default nblk=512 pads 3*256=768 columns up to 1024
+    for li in range(cfg.num_layers):
+        lp = params["layers"][li]
+        qlp = qparams["layers"][li]
+        qlp["qkv"]["q4"] = pack_int4(
+            lp["qkv"].astype(jnp.float32), dblk=128, nblk=128
+        )
+        qlp["o"]["q4"] = pack_int4(
+            lp["o"].astype(jnp.float32), dblk=128, nblk=128
+        )
+
+    monkeypatch.setattr(
+        phi3, "decode_attn_layer", None, raising=False
+    )  # ensure the import inside _decode_forward_fused is used
+    monkeypatch.setattr(
+        pallas_decode, "decode_attn_layer",
+        functools.partial(
+            pallas_decode.decode_attn_layer.__wrapped__, interpret=True
+        ),
+    )
+
+    rng = np.random.default_rng(2)
+    B, T, D = 1, 40, cfg.hidden_size
+    total = 512  # _ROWS-aligned
+    cache = phi3.init_cache(cfg, B, total, dtype=jnp.bfloat16)
+    # prefill a short prompt so the cache has real rows
+    embeds = jnp.asarray(rng.normal(size=(B, T, D)), jnp.bfloat16)
+    av = np.ones((B, T), bool)
+    av[0, 30:34] = False  # padding holes
+    av = jnp.asarray(av)
+    positions = jnp.maximum(jnp.cumsum(av.astype(jnp.int32), 1) - 1, 0)
+    mask = phi3.prefill_mask(av, total)
+    _, cache = phi3.forward(qparams, cfg, embeds, positions, cache, 0, mask)
+
+    # one decode step at slot T
+    valid = np.zeros((B, total), bool)
+    valid[0, :T] = np.asarray(av)[0]
+    valid[0, T] = True
+    valid = jnp.asarray(valid)
+    e = jnp.asarray(rng.normal(size=(B, 1, D)), jnp.bfloat16)
+    pos = (jnp.sum(valid, axis=1) - 1)[:, None]
+
+    logits_u, cache_u = phi3.decode_forward(
+        qparams, cfg, e, pos, cache, T, valid[:, None, :]
+    )
+    flat = phi3.KVCache(
+        cache.k.reshape(cfg.num_layers, B, total, D),
+        cache.v.reshape(cfg.num_layers, B, total, D),
+    )
+    logits_f, cache_f = phi3._decode_forward_fused(
+        qparams, cfg, e, pos, flat, T, valid
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(logits_f, np.float32), np.asarray(logits_u, np.float32),
+        rtol=5e-2, atol=5e-2,
+    )
+    assert int(jnp.argmax(logits_f[0, 0])) == int(jnp.argmax(logits_u[0, 0]))
+    np.testing.assert_allclose(
+        np.asarray(cache_f.k[:, 0, T], np.float32),
+        np.asarray(cache_u.k[:, 0, T].reshape(cfg.num_layers, D), np.float32),
+        rtol=3e-2, atol=3e-2,
+    )

@@ -1,0 +1,98 @@
+"""A/B the fused decode-attention kernel against the unfused int4 path.
+
+Measures pure-LLM greedy decode at full Phi-3-mini dims on the real chip
+using the chain-slope method (20-token vs 5-token decode; the slope cancels
+tunnel RTT, prefill, and cache-init), and checks one-step logits/token
+parity between the two paths.
+
+Usage:  python tools/ab_fused_decode.py            # both paths + parity
+        DYNAM3D_AB_TOKENS=20,5 python tools/...    # custom chain lengths
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.environ.get("DYNAM3D_XLA_CACHE", "/tmp/dynam3d_xla_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from dynam3d_tpu import flags
+    from dynam3d_tpu.config import Phi3Config
+    from dynam3d_tpu.models.vlm import phi3
+
+    cfg = Phi3Config()
+    T = int(os.environ.get("DYNAM3D_AB_PROMPT", "816"))
+    lens = [
+        int(x) for x in os.environ.get("DYNAM3D_AB_TOKENS", "20,5").split(",")
+    ]
+
+    rng = np.random.default_rng(0)
+    params = phi3.init_phi3_params(jax.random.PRNGKey(0), cfg)
+    params = phi3.quantize_phi3(params, bits=4, consume=True)
+
+    embeds = jnp.asarray(
+        rng.normal(scale=0.5, size=(1, T, cfg.hidden_size)), jnp.bfloat16
+    )
+    valid = np.ones((1, T), bool)
+    valid[0, 700:708] = False  # padding holes exercise the mask path
+    valid = jnp.asarray(valid)
+
+    def sync(x):
+        return np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[:1])
+
+    results = {}
+    tokens = {}
+    for fused in (False, True):
+        flags.FUSED_DECODE_ATTN = fused
+        name = "fused" if fused else "unfused"
+        per_len = {}
+        for n in lens:
+            fn = jax.jit(
+                lambda e, v, n=n: phi3.greedy_decode(params, cfg, e, v, n)
+            )
+            t0 = time.time()
+            out = fn(embeds, valid)
+            sync(out)
+            compile_s = time.time() - t0
+            ts = []
+            for _ in range(6):
+                t0 = time.time()
+                out = fn(embeds, valid)
+                sync(out)
+                ts.append(time.time() - t0)
+            per_len[n] = float(np.percentile(ts, 50))
+            print(
+                f"{name} n={n}: p50 {per_len[n]*1e3:.1f} ms "
+                f"(compile {compile_s:.1f}s)", flush=True,
+            )
+            if n == max(lens):
+                tokens[name] = np.asarray(out)[0]
+        hi, lo = max(lens), min(lens)
+        slope = (per_len[hi] - per_len[lo]) / (hi - lo) * 1e3
+        results[name] = slope
+        print(f"{name}: {slope:.3f} ms/token (slope {lo}->{hi})", flush=True)
+
+    same = np.array_equal(tokens["fused"], tokens["unfused"])
+    n_diff = int((tokens["fused"] != tokens["unfused"]).sum())
+    print(
+        f"token parity: {'EXACT' if same else f'{n_diff} tokens differ'}\n"
+        f"unfused {results['unfused']:.3f} ms/tok vs fused "
+        f"{results['fused']:.3f} ms/tok "
+        f"({results['unfused']/max(results['fused'],1e-9):.2f}x)", flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
