@@ -66,6 +66,16 @@ class EpisodeRunner:
         )
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _upload(o) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Begin the async host->device copy of one observation."""
+        return (
+            jax.device_put(o.rgb),
+            jax.device_put(np.asarray(o.depth, np.float32)),
+            jax.device_put(np.asarray(o.position, np.float32)),
+        )
+
+    # ------------------------------------------------------------------
     def _prompt_ids(
         self, instructions: Sequence[str], histories: Sequence[List[str]],
         gt_texts: Optional[Sequence[str]] = None,
@@ -148,11 +158,22 @@ class EpisodeRunner:
         live = list(range(B))
         results: List[Optional[Dict]] = [None] * B
 
+        # Double-buffered uploads: each episode's frame starts streaming to
+        # the device (jax async dispatch — device_put returns immediately)
+        # the moment its feed renders it, overlapping the copy with the
+        # remaining feeds' host-side rendering and with tokenization, instead
+        # of uploading the whole stacked batch synchronously at the top of
+        # the step (the reference overlaps render/compute via per-env worker
+        # processes, env_utils.py:119-126).
+        dev_obs: Dict[int, Tuple] = {i: self._upload(obs[i]) for i in live}
+
         for stepk in range(max_steps):
-            rgb = jnp.asarray(np.stack([obs[i].rgb for i in live]))
-            depth = jnp.asarray(np.stack([obs[i].depth for i in live]))
-            pos = jnp.asarray(np.stack([obs[i].position for i in live]))
-            hd = jnp.asarray(np.asarray([obs[i].heading for i in live], np.float32))
+            rgb = jnp.stack([dev_obs[i][0] for i in live])
+            depth = jnp.stack([dev_obs[i][1] for i in live])
+            pos = jnp.stack([dev_obs[i][2] for i in live])
+            hd = jnp.asarray(
+                np.asarray([obs[i].heading for i in live], np.float32)
+            )
 
             ids, tvalid, _ = self._prompt_ids(
                 [obs[i].instruction for i in live],
@@ -186,6 +207,7 @@ class EpisodeRunner:
                 else:
                     o, d, info = feeds[i].step(action)
                     obs[i] = o
+                    dev_obs[i] = self._upload(o)  # stream while others render
                     if d:
                         results[i] = {
                             "steps": stepk + 1,

@@ -320,13 +320,36 @@ class FloorplanFeed:
         return bool(self.grid[r, c])
 
     def _ray(self, x: float, z: float, dx: float, dz: float) -> float:
-        """March along (dx,dz) until a wall cell; returns the distance."""
-        step = self.cell * 0.2
-        t = step
+        """Distance along (dx,dz) to the first wall face.
+
+        Exact DDA grid walk (Amanatides-Woo): every cell the ray crosses is
+        visited, so a grazing ray cannot step across a wall corner the way
+        a fixed-step march could — the returned t is the exact boundary
+        crossing into the wall cell."""
+        H, W = self.grid.shape
+        cell = self.cell
+        inf = float("inf")
+        ix = int(np.clip(math.floor(x / cell), 0, W - 1))
+        iz = int(np.clip(math.floor(z / cell), 0, H - 1))
+        if self.grid[iz, ix]:
+            return 0.0
+        step_x = 1 if dx > 0 else -1
+        step_z = 1 if dz > 0 else -1
+        td_x = cell / abs(dx) if dx else inf   # t per cell crossed in x
+        td_z = cell / abs(dz) if dz else inf
+        # t of the first boundary crossing on each axis
+        tm_x = ((ix + (dx > 0)) * cell - x) / dx if dx else inf
+        tm_z = ((iz + (dz > 0)) * cell - z) / dz if dz else inf
+        t = 0.0
         while t < self.max_depth:
-            if self._is_wall(x + dx * t, z + dz * t):
-                return t
-            t += step
+            if tm_x < tm_z:
+                t, tm_x, ix = tm_x, tm_x + td_x, ix + step_x
+            else:
+                t, tm_z, iz = tm_z, tm_z + td_z, iz + step_z
+            if not (0 <= ix < W and 0 <= iz < H):
+                return self.max_depth  # left the plan: open space
+            if self.grid[iz, ix]:
+                return min(t, self.max_depth)
         return self.max_depth
 
     def _render(self) -> Observation:

@@ -31,6 +31,7 @@ from typing import Any, Callable, List, Sequence, Tuple
 from dynam3d_tpu.runtime.feed import Observation
 
 _CLOSE = "__close__"
+_RESOLVE = "__resolve__"
 
 
 def _worker(factory: Callable, conn) -> None:
@@ -43,7 +44,13 @@ def _worker(factory: Callable, conn) -> None:
                 return
             name, args, kwargs = msg
             try:
-                result = getattr(feed, name)(*args, **kwargs)
+                if name == _RESOLVE:
+                    # attribute probe: data attributes come back by value,
+                    # methods as a marker (the proxy then RPCs the call)
+                    attr = getattr(feed, args[0])
+                    result = ("method", None) if callable(attr) else ("value", attr)
+                else:
+                    result = getattr(feed, name)(*args, **kwargs)
                 conn.send((True, result))
             except Exception as e:  # surface worker errors to the caller
                 conn.send((False, f"{type(e).__name__}: {e}"))
@@ -52,19 +59,35 @@ def _worker(factory: Callable, conn) -> None:
 
 
 class FeedProxy:
-    """Feed-protocol view of one pooled worker (synchronous RPC)."""
+    """Feed-protocol view of one pooled worker (synchronous RPC).
+
+    Attribute access probes the worker: data attributes of the live feed
+    (``goal``, ``gt_locations``, ``instruction``) come back by value, so
+    ``getattr(feed, "goal", None)``-style consumers see real data rather
+    than a truthy bound-RPC function; methods come back as RPC callables.
+    """
 
     def __init__(self, pool: "VectorFeedPool", idx: int):
         self._pool = pool
         self._idx = idx
+        self._methods: set = set()  # probe cache: names known to be methods
 
     def __getattr__(self, name: str):
         if name.startswith("_"):
             raise AttributeError(name)
+        if name not in self._methods:
+            try:
+                kind, value = self._pool._rpc(self._idx, _RESOLVE, (name,))
+            except RuntimeError as e:
+                if "AttributeError" in str(e):
+                    raise AttributeError(name) from None
+                raise
+            if kind == "value":
+                return value  # data attributes re-fetch every access
+            self._methods.add(name)
 
         def call(*args, **kwargs):
-            self._pool._send(self._idx, name, args, kwargs)
-            return self._pool._recv(self._idx)
+            return self._pool._rpc(self._idx, name, args, kwargs)
 
         return call
 
@@ -100,11 +123,31 @@ class VectorFeedPool:
             raise RuntimeError(f"feed worker {idx}: {result}")
         return result
 
+    def _rpc(self, idx: int, name: str, args=(), kwargs=None):
+        self._send(idx, name, args, kwargs)
+        return self._recv(idx)
+
     def call(self, name: str, per_feed_args: Sequence[Tuple]) -> List[Any]:
-        """Dispatch ``name(*args)`` to every worker, then collect in order."""
+        """Dispatch ``name(*args)`` to every worker, then collect in order.
+
+        Every dispatched response is ALWAYS read, even when an earlier
+        worker failed — leaving a computed response unread in a pipe would
+        silently desync every later RPC on that index by one message.  The
+        first failure is raised after the drain.
+        """
         for i, args in enumerate(per_feed_args):
             self._send(i, name, tuple(args))
-        return [self._recv(i) for i in range(len(self))]
+        results, first_err = [], None
+        for i in range(len(self)):
+            try:
+                results.append(self._recv(i))
+            except RuntimeError as e:
+                results.append(None)
+                if first_err is None:
+                    first_err = e
+        if first_err is not None:
+            raise first_err
+        return results
 
     # --- batched Feed surface ----------------------------------------------
     def reset(self) -> List[Observation]:

@@ -101,6 +101,34 @@ def test_floorplan_feed_geodesic_oracle():
     np.testing.assert_allclose(f.oracle_distance(), d_cand, atol=1e-5)
 
 
+def test_floorplan_ray_is_exact_dda():
+    """_ray walks the grid exactly (Amanatides-Woo): perpendicular hits
+    return the precise wall-face distance, and a grazing ray that clips
+    only a ~0.05 m corner sliver of a wall cell still registers — the
+    failure mode of the old fixed-step (0.1 m) march."""
+    from dynam3d_tpu.runtime.feed import FloorplanFeed
+
+    plan = (
+        "S...",
+        "..#.",
+        "...G",
+    )
+    f = FloorplanFeed(plan=plan, cell_size=0.5, rgb_size=8, depth_size=8)
+    # wall cell: x in [1.0, 1.5], z in [0.5, 1.0]
+    # perpendicular: from (0.75, 0.75) along +x the face is at x=1.0
+    assert abs(f._ray(0.75, 0.75, 1.0, 0.0) - 0.25) < 1e-9
+    # graze: from (0.5, 0.45) with slope 0.05/0.95 the ray enters the wall
+    # z-band at x=1.45, clipping a ~0.05 m corner chord
+    d = np.hypot(0.95, 0.05)
+    dx, dz = 0.95 / d, 0.05 / d
+    t = f._ray(0.5, 0.45, dx, dz)
+    assert abs(t - d) < 1e-9, (t, d)
+    # parallel to a wall but in free space: runs to max_depth
+    assert f._ray(0.75, 0.25, 1.0, 0.0) == f.max_depth
+    # starting inside a wall cell is an immediate hit
+    assert f._ray(1.2, 0.75, 1.0, 0.0) == 0.0
+
+
 def test_golden_fixture_metrics():
     """The committed golden episodes (tools/make_golden_fixtures.py) carry
     teacher trajectories that reach the goal; their metrics are pinned here

@@ -58,14 +58,62 @@ def test_proxy_oracle_rpcs():
 
 
 def test_worker_error_surfaces():
+    """Unknown names raise AttributeError at ACCESS time (the proxy probes
+    the worker), so getattr(feed, name, default) semantics match a local
+    feed; real method errors still surface as RuntimeError at call time."""
+    import pytest
+
     with VectorFeedPool(
         [functools.partial(SyntheticRoomFeed, rgb_size=16, depth_size=8)]
     ) as pool:
-        try:
-            pool.feeds[0].no_such_method()
-            raise AssertionError("expected RuntimeError")
-        except RuntimeError as e:
-            assert "AttributeError" in str(e)
+        with pytest.raises(AttributeError):
+            pool.feeds[0].no_such_method
+        assert getattr(pool.feeds[0], "no_such_attr", None) is None
+        with pytest.raises(RuntimeError, match="TypeError"):
+            pool.feeds[0].step()  # missing required action argument
+
+
+def test_proxy_data_attributes_fetch_values():
+    """Data attributes of the live feed come back by VALUE (not as truthy
+    RPC callables): goal / instruction on the worker-held feed equal the
+    local feed's, and re-fetch after reset."""
+    with VectorFeedPool(
+        [functools.partial(SyntheticRoomFeed, rgb_size=16, depth_size=8, seed=3)]
+    ) as pool:
+        proxy = pool.feeds[0]
+        local = SyntheticRoomFeed(rgb_size=16, depth_size=8, seed=3)
+        proxy.reset(), local.reset()
+        assert isinstance(proxy.instruction, str)
+        assert proxy.instruction == local.instruction
+        np.testing.assert_allclose(proxy.goal, local.goal)
+        # methods stay callable through the same lookup path
+        assert callable(proxy.cand_dist_to_goal)
+
+
+def test_pool_drains_responses_after_worker_failure():
+    """A failing worker mid-collect must not desync the other pipes: the
+    pool drains every dispatched response before raising, so later RPCs on
+    healthy workers still see fresh (not stale off-by-one) replies."""
+    import pytest
+
+    with VectorFeedPool(
+        [
+            functools.partial(SyntheticRoomFeed, rgb_size=16, depth_size=8, seed=0),
+            functools.partial(SyntheticRoomFeed, rgb_size=16, depth_size=8, seed=1),
+        ]
+    ) as pool:
+        pool.reset()
+        # worker 0 fails (bad action arity), worker 1 succeeds; both
+        # responses must be consumed
+        with pytest.raises(RuntimeError, match="feed worker 0"):
+            pool.call("step", [(), ((0.1, 0.25),)])
+        # the pool is still usable and in sync afterwards
+        out = pool.step([(0.2, 0.25), (0.3, 0.25)])
+        local = SyntheticRoomFeed(rgb_size=16, depth_size=8, seed=1)
+        local.reset()
+        local.step((0.1, 0.25))
+        obs_l, _, _ = local.step((0.3, 0.25))
+        np.testing.assert_allclose(out[1][0].position, obs_l.position)
 
 
 def test_episode_runner_over_pool():
