@@ -298,6 +298,8 @@ def _decode_forward_fused(
     # the kernel folds the current token in from registers; exclude its slot
     mask_row = valid[0].at[write_at].set(False)
 
+    from dynam3d_tpu.ops.pallas_int4 import int4_mlp_block
+
     x = embeds
     ck, cv = cache.k, cache.v
     for li in range(cfg.num_layers):
@@ -313,8 +315,12 @@ def _decode_forward_fused(
         cv = jax.lax.dynamic_update_slice(
             cv, v_new.reshape(1, 1, 1, D), (li, 0, write_at, 0)
         )
-        h = rms_norm(p["post_ln"], x, cfg.rms_eps)
-        x = x + _mlp(p, h)
+        # MLP half + its norm and residual as the second (and last) kernel
+        # of the layer — a fused decode layer is exactly two Pallas calls
+        x = int4_mlp_block(
+            x, p["post_ln"], p["gate_up"]["q4"], p["down"]["q4"],
+            cfg.rms_eps,
+        )
     x = rms_norm(params["final_ln"], x, cfg.rms_eps)
     return _lm_head(params, x), KVCache(ck, cv)
 

@@ -426,6 +426,184 @@ def int4_mlp(
     )
 
 
+def _mlp_block_kernel(
+    x_ref, lnw_ref, qgu_ref, sgl_ref, sgh_ref, qdn_ref, sdl_ref, sdh_ref,
+    out_ref, xn_ref, h_ref, *, dblk: int, n_gu: int, eps: float,
+):
+    """``_mlp_kernel`` plus the surrounding layer glue: the input rmsnorm
+    (j==0) and the residual add (phase 2), so a whole decode-MLP half runs
+    as one program with zero XLA segments around it."""
+    j = pl.program_id(0)
+    bp = x_ref.shape[0]
+    nblk = qgu_ref.shape[1]
+
+    def matvec(src_ref, q_ref, sl_ref, sh_ref, g):
+        def chunk(i, carry):
+            acc_lo, acc_hi = carry
+            lo, hi = _unpack_i32(q_ref[pl.ds(i * dblk, dblk), :])
+            xc = src_ref[:, pl.ds(i * dblk, dblk)]
+            p_lo = jnp.dot(
+                xc, lo.astype(xc.dtype), preferred_element_type=jnp.float32
+            )
+            p_hi = jnp.dot(
+                xc, hi.astype(xc.dtype), preferred_element_type=jnp.float32
+            )
+            acc_lo = acc_lo + p_lo * sl_ref[pl.ds(i, 1), :]
+            acc_hi = acc_hi + p_hi * sh_ref[pl.ds(i, 1), :]
+            return acc_lo, acc_hi
+
+        z = jnp.zeros((bp, nblk), jnp.float32)
+        return jax.lax.fori_loop(0, g, chunk, (z, z))
+
+    @pl.when(j == 0)
+    def _():
+        xf = x_ref[:].astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        xn_ref[:] = (xf * jax.lax.rsqrt(var + eps) * lnw_ref[:]).astype(
+            jnp.bfloat16
+        )
+        h_ref[...] = jnp.zeros_like(h_ref)
+
+    @pl.when(j < n_gu)
+    def _():
+        gate, up = matvec(xn_ref, qgu_ref, sgl_ref, sgh_ref, sgl_ref.shape[0])
+        h = gate * jax.nn.sigmoid(gate) * up
+        h_ref[:, pl.ds(j * nblk, nblk)] = h.astype(jnp.bfloat16)
+
+    @pl.when(j >= n_gu)
+    def _():
+        # residual add per output block: the lo half covers output columns
+        # [jd*nblk, +nblk), the hi half the same range offset by D/2
+        jd = j - n_gu
+        lo, hi = matvec(h_ref, qdn_ref, sdl_ref, sdh_ref, sdl_ref.shape[0])
+        d_half = x_ref.shape[1] // 2
+        out_ref[0] = lo + x_ref[:, pl.ds(jd * nblk, nblk)].astype(jnp.float32)
+        out_ref[1] = hi + x_ref[
+            :, pl.ds(d_half + jd * nblk, nblk)
+        ].astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def _pallas_int4_mlp_block(
+    xp: jnp.ndarray, lnw: jnp.ndarray, gu: Int4Weight, dn: Int4Weight,
+    eps: float, interpret: bool = False,
+) -> jnp.ndarray:
+    """xp [Bp, D] bf16 raw residual input -> [Bp, D] f32
+    ``x + down(swiglu(rmsnorm(x)))`` (halves concatenated by the caller's
+    reshape).  Requires unpadded dims: gu.d == xp.shape[1] == dn.n."""
+    bp, d = xp.shape
+    n2_gu = gu.q4.shape[1]
+    n2_dn = dn.q4.shape[1]
+    ip = dn.q4.shape[0]
+    nblk = gu.nblk
+    n_gu = n2_gu // nblk
+    n_dn = n2_dn // nblk
+    out = pl.pallas_call(
+        functools.partial(
+            _mlp_block_kernel, dblk=gu.dblk, n_gu=n_gu, eps=eps
+        ),
+        grid=(n_gu + n_dn,),
+        in_specs=[
+            pl.BlockSpec((bp, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (d, nblk), lambda j: (0, jnp.minimum(j, n_gu - 1)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (gu.s_lo.shape[0], nblk),
+                lambda j: (0, jnp.minimum(j, n_gu - 1)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (gu.s_hi.shape[0], nblk),
+                lambda j: (0, jnp.minimum(j, n_gu - 1)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (ip, nblk), lambda j: (0, jnp.maximum(j - n_gu, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (dn.s_lo.shape[0], nblk),
+                lambda j: (0, jnp.maximum(j - n_gu, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (dn.s_hi.shape[0], nblk),
+                lambda j: (0, jnp.maximum(j - n_gu, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (2, bp, nblk), lambda j: (0, 0, jnp.maximum(j - n_gu, 0)),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, bp, n2_dn), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((bp, d), jnp.bfloat16),
+            pltpu.VMEM((bp, max(ip, n2_gu)), jnp.bfloat16),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bp * (d * n2_gu + ip * n2_dn),
+            bytes_accessed=d * n2_gu + ip * n2_dn,
+            transcendentals=bp * n2_gu,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(xp, lnw, gu.q4, gu.s_lo, gu.s_hi, dn.q4, dn.s_lo, dn.s_hi)
+    return jnp.concatenate([out[0], out[1]], axis=-1)
+
+
+def int4_mlp_block(
+    x: jnp.ndarray,          # [..., D] residual input (pre-norm)
+    ln_w: jnp.ndarray,       # [D] post-attention rmsnorm weight
+    gate_up: Int4Weight,
+    down: Int4Weight,
+    eps: float,
+    out_dtype=None,
+) -> jnp.ndarray:
+    """``x + down(silu(gate(rmsnorm(x))) * up(rmsnorm(x)))`` in one kernel.
+
+    The decode-layer MLP half including its surrounding XLA glue (norm +
+    residual).  Same eligibility as :func:`int4_mlp` plus unpadded D
+    (``gate_up.d == D == down.n``); falls back to the norm + int4_mlp chain
+    otherwise.
+    """
+    lead = x.shape[:-1]
+    d = x.shape[-1]
+    rows = int(np.prod(lead)) if lead else 1
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and rows <= 16
+        and gate_up.nblk == down.nblk
+        and gate_up.dblk == down.dblk
+        and gate_up.n == 2 * gate_up.q4.shape[1]
+        and down.n == 2 * down.q4.shape[1]
+        and gate_up.d == d == down.n
+        and gate_up.q4.shape[0] == d
+        and not flags.DISABLE_PALLAS
+    )
+    if not use_pallas:
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        h = (xf * jax.lax.rsqrt(var + eps) * ln_w).astype(jnp.bfloat16)
+        return (
+            x.astype(jnp.float32)
+            + int4_mlp(h, gate_up, down, out_dtype=jnp.float32)
+        ).astype(out_dtype or x.dtype)
+    bp = _round_up(max(rows, 1), 16)
+    xp = jnp.pad(
+        x.reshape(rows, d).astype(jnp.bfloat16), ((0, bp - rows), (0, 0))
+    )
+    y = _pallas_int4_mlp_block(
+        xp, ln_w.reshape(1, d).astype(jnp.float32), gate_up, down, eps
+    )
+    return y[:rows].reshape(*lead, d).astype(out_dtype or x.dtype)
+
+
 def int4_matmul(x: jnp.ndarray, w: Int4Weight, out_dtype=None) -> jnp.ndarray:
     """``x [..., D] @ W[D, N]`` against a packed int4 weight.
 

@@ -364,3 +364,34 @@ def test_fused_decode_forward_matches_unfused(monkeypatch):
         np.asarray(cache_u.k[:, 0, T].reshape(cfg.num_layers, D), np.float32),
         rtol=3e-2, atol=3e-2,
     )
+
+
+def test_int4_mlp_block_matches_unfused():
+    """int4_mlp_block (norm + SwiGLU + down + residual in one kernel,
+    interpret mode) == the rmsnorm -> int4_mlp -> add chain."""
+    from dynam3d_tpu.ops.pallas_int4 import (
+        _pallas_int4_mlp_block, int4_mlp, pack_int4,
+    )
+
+    rng = np.random.default_rng(9)
+    D, I = 256, 512
+    eps = 1e-5
+    wgu = rng.normal(scale=0.05, size=(D, 2 * I)).astype(np.float32)
+    wdn = rng.normal(scale=0.05, size=(I, D)).astype(np.float32)
+    gu = pack_int4(jnp.asarray(wgu), dblk=128, nblk=128)
+    dn = pack_int4(jnp.asarray(wdn), dblk=128, nblk=128)
+    lnw = jnp.asarray(rng.normal(scale=0.2, size=(1, D)) + 1.0, jnp.float32)
+
+    x = rng.normal(size=(16, D)).astype(np.float32)
+    xp = jnp.asarray(x, jnp.bfloat16)
+    y = _pallas_int4_mlp_block(xp, lnw, gu, dn, eps, interpret=True)
+
+    xf = np.asarray(xp, np.float32)
+    var = (xf * xf).mean(-1, keepdims=True)
+    h = jnp.asarray(
+        xf / np.sqrt(var + eps) * np.asarray(lnw), jnp.bfloat16
+    )
+    want = xf + np.asarray(int4_mlp(h, gu, dn, out_dtype=jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(y), want, rtol=5e-2, atol=5e-2
+    )

@@ -59,17 +59,19 @@ def main():
         name = "fused" if fused else "unfused"
         per_len = {}
         for n in lens:
+            # params MUST be an argument: closing over them bakes gigabytes
+            # of constants into lowering (takes tens of minutes)
             fn = jax.jit(
-                lambda e, v, n=n: phi3.greedy_decode(params, cfg, e, v, n)
+                lambda p, e, v, n=n: phi3.greedy_decode(p, cfg, e, v, n)
             )
             t0 = time.time()
-            out = fn(embeds, valid)
+            out = fn(params, embeds, valid)
             sync(out)
             compile_s = time.time() - t0
             ts = []
             for _ in range(6):
                 t0 = time.time()
-                out = fn(embeds, valid)
+                out = fn(params, embeds, valid)
                 sync(out)
                 ts.append(time.time() - t0)
             per_len[n] = float(np.percentile(ts, 50))
