@@ -42,6 +42,12 @@ def _sync(y):
     return np.asarray(leaf.ravel()[0:1])
 
 
+def _resolved_flags():
+    from dynam3d_tpu import flags
+
+    return flags
+
+
 def _config(scale: str):
     from dynam3d_tpu.config import (
         CLIPConfig,
@@ -155,8 +161,11 @@ def render_bench():
             "baseline": "unmeasured",
             "views_per_sec": round(1000.0 / p50, 2),
             "compile_s": round(compile_s, 1),
-            "pallas": not bool(os.environ.get("DYNAM3D_DISABLE_PALLAS")),
-            "banded_knn": not bool(os.environ.get("DYNAM3D_DISABLE_BANDED_KNN")),
+            # report the resolved gates, not the environment — they can
+            # disagree after import or a flags.* monkeypatch
+            "pallas": not _resolved_flags().DISABLE_PALLAS,
+            "banded_knn": not _resolved_flags().DISABLE_BANDED_KNN,
+            "morton_knn": not _resolved_flags().DISABLE_MORTON_KNN,
             "patches": n,
             "patch_layout": "walk",
             "backend": jax.default_backend(),
@@ -377,7 +386,10 @@ def serve_bench():
         sync_s = time.time() - t0
         n_steps_s = sum(r["steps"] for r in res_s)
     finally:
-        ep_mod.EpisodeRunner._upload = orig_upload
+        # restore as a staticmethod: class-level access above returned the
+        # bare function, and assigning that back would bind `self` as the
+        # observation on the next instance call
+        ep_mod.EpisodeRunner._upload = staticmethod(orig_upload)
 
     print(json.dumps({
         "metric": "serve_steps_per_sec",

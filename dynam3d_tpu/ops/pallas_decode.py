@@ -51,7 +51,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dynam3d_tpu.ops.pallas_int4 import Int4Weight, _unpack_i32
+from dynam3d_tpu.ops.pallas_int4 import Int4Weight, nibble_matvec_acc
 
 _NEG = -1e30
 _ROWS = 512          # KV rows per streamed block
@@ -63,23 +63,13 @@ def _matvec_acc(h_ref, q4_vmem, sl_ref, sh_ref, y_ref, *, jb, dblk, nblk, n2):
 
     ``q4_vmem`` holds the current ``[D, nblk]`` int8 block; lo nibbles are
     columns ``jb*nblk..+nblk`` of the first half, hi nibbles the same range
-    of the second half (ops/pallas_int4.py layout)."""
-    d = h_ref.shape[1]
-    g = d // dblk
-
-    def chunk(c, carry):
-        acc_lo, acc_hi = carry
-        qblk = q4_vmem[pl.ds(c * dblk, dblk), :]
-        lo, hi = _unpack_i32(qblk)
-        xc = h_ref[:, pl.ds(c * dblk, dblk)]
-        p_lo = jnp.dot(xc, lo.astype(xc.dtype), preferred_element_type=jnp.float32)
-        p_hi = jnp.dot(xc, hi.astype(xc.dtype), preferred_element_type=jnp.float32)
-        acc_lo = acc_lo + p_lo * sl_ref[pl.ds(c, 1), pl.ds(jb * nblk, nblk)]
-        acc_hi = acc_hi + p_hi * sh_ref[pl.ds(c, 1), pl.ds(jb * nblk, nblk)]
-        return acc_lo, acc_hi
-
-    z = jnp.zeros((h_ref.shape[0], nblk), jnp.float32)
-    acc_lo, acc_hi = jax.lax.fori_loop(0, g, chunk, (z, z))
+    of the second half (ops/pallas_int4.py layout).  The scale refs are
+    full-width here (the DMA streams only the weight block), hence the
+    ``col_start`` slice."""
+    acc_lo, acc_hi = nibble_matvec_acc(
+        h_ref, q4_vmem, sl_ref, sh_ref,
+        dblk=dblk, g=h_ref.shape[1] // dblk, col_start=jb * nblk,
+    )
     y_ref[:, pl.ds(jb * nblk, nblk)] = acc_lo
     y_ref[:, pl.ds(n2 + jb * nblk, nblk)] = acc_hi
 

@@ -112,29 +112,43 @@ def _unpack_i32(q: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return lo, hi
 
 
-def _kernel(x_ref, q_ref, sl_ref, sh_ref, out_ref, *, dblk: int):
-    """One column block: x [Bp, Dp] @ unpack(q [Dp, nblk]) -> out [2, Bp, nblk]."""
-    bp = x_ref.shape[0]
-    nb = q_ref.shape[1]
-    g = sl_ref.shape[0]
+def nibble_matvec_acc(
+    src_ref, q_ref, sl_ref, sh_ref, *, dblk: int, g: int, col_start=0
+):
+    """The ONE chunked packed-int4 matvec body every kernel shares.
+
+    ``src [Bp, >=g*dblk] @ unpack(q [g*dblk, nblk])`` accumulated over
+    ``g`` D-chunks with group-wise scales applied to the partial products;
+    returns ``(acc_lo, acc_hi)`` f32 ``[Bp, nblk]``.  ``col_start`` slices
+    the scale columns when the scale refs are full-width (the fused decode
+    kernel passes them whole; the grid-blocked kernels pass per-block
+    scale refs and use the default 0).
+    """
+    nblk = q_ref.shape[1]
 
     def chunk(i, carry):
         acc_lo, acc_hi = carry
-        q = q_ref[pl.ds(i * dblk, dblk), :]
-        lo, hi = _unpack_i32(q)
-        xc = x_ref[:, pl.ds(i * dblk, dblk)]
+        lo, hi = _unpack_i32(q_ref[pl.ds(i * dblk, dblk), :])
+        xc = src_ref[:, pl.ds(i * dblk, dblk)]
         p_lo = jnp.dot(
             xc, lo.astype(xc.dtype), preferred_element_type=jnp.float32
         )
         p_hi = jnp.dot(
             xc, hi.astype(xc.dtype), preferred_element_type=jnp.float32
         )
-        acc_lo = acc_lo + p_lo * sl_ref[pl.ds(i, 1), :]
-        acc_hi = acc_hi + p_hi * sh_ref[pl.ds(i, 1), :]
+        acc_lo = acc_lo + p_lo * sl_ref[pl.ds(i, 1), pl.ds(col_start, nblk)]
+        acc_hi = acc_hi + p_hi * sh_ref[pl.ds(i, 1), pl.ds(col_start, nblk)]
         return acc_lo, acc_hi
 
-    z = jnp.zeros((bp, nb), jnp.float32)
-    acc_lo, acc_hi = jax.lax.fori_loop(0, g, chunk, (z, z))
+    z = jnp.zeros((src_ref.shape[0], nblk), jnp.float32)
+    return jax.lax.fori_loop(0, g, chunk, (z, z))
+
+
+def _kernel(x_ref, q_ref, sl_ref, sh_ref, out_ref, *, dblk: int):
+    """One column block: x [Bp, Dp] @ unpack(q [Dp, nblk]) -> out [2, Bp, nblk]."""
+    acc_lo, acc_hi = nibble_matvec_acc(
+        x_ref, q_ref, sl_ref, sh_ref, dblk=dblk, g=sl_ref.shape[0]
+    )
     out_ref[0] = acc_lo
     out_ref[1] = acc_hi
 
@@ -270,26 +284,7 @@ def _mlp_kernel(
     phase-2 program runs.  gate|up arrive as the lo|hi nibble halves of one
     packed array, so the SwiGLU product needs no extra pass."""
     j = pl.program_id(0)
-    bp = x_ref.shape[0]
     nblk = qgu_ref.shape[1]
-
-    def matvec(src_ref, q_ref, sl_ref, sh_ref, g):
-        def chunk(i, carry):
-            acc_lo, acc_hi = carry
-            lo, hi = _unpack_i32(q_ref[pl.ds(i * dblk, dblk), :])
-            xc = src_ref[:, pl.ds(i * dblk, dblk)]
-            p_lo = jnp.dot(
-                xc, lo.astype(xc.dtype), preferred_element_type=jnp.float32
-            )
-            p_hi = jnp.dot(
-                xc, hi.astype(xc.dtype), preferred_element_type=jnp.float32
-            )
-            acc_lo = acc_lo + p_lo * sl_ref[pl.ds(i, 1), :]
-            acc_hi = acc_hi + p_hi * sh_ref[pl.ds(i, 1), :]
-            return acc_lo, acc_hi
-
-        z = jnp.zeros((bp, nblk), jnp.float32)
-        return jax.lax.fori_loop(0, g, chunk, (z, z))
 
     @pl.when(j == 0)
     def _():
@@ -299,13 +294,17 @@ def _mlp_kernel(
 
     @pl.when(j < n_gu)
     def _():
-        gate, up = matvec(x_ref, qgu_ref, sgl_ref, sgh_ref, sgl_ref.shape[0])
+        gate, up = nibble_matvec_acc(
+            x_ref, qgu_ref, sgl_ref, sgh_ref, dblk=dblk, g=sgl_ref.shape[0]
+        )
         h = gate * jax.nn.sigmoid(gate) * up                    # SwiGLU
         h_ref[:, pl.ds(j * nblk, nblk)] = h.astype(jnp.bfloat16)
 
     @pl.when(j >= n_gu)
     def _():
-        lo, hi = matvec(h_ref, qdn_ref, sdl_ref, sdh_ref, sdl_ref.shape[0])
+        lo, hi = nibble_matvec_acc(
+            h_ref, qdn_ref, sdl_ref, sdh_ref, dblk=dblk, g=sdl_ref.shape[0]
+        )
         out_ref[0] = lo
         out_ref[1] = hi
 
@@ -434,26 +433,7 @@ def _mlp_block_kernel(
     (j==0) and the residual add (phase 2), so a whole decode-MLP half runs
     as one program with zero XLA segments around it."""
     j = pl.program_id(0)
-    bp = x_ref.shape[0]
     nblk = qgu_ref.shape[1]
-
-    def matvec(src_ref, q_ref, sl_ref, sh_ref, g):
-        def chunk(i, carry):
-            acc_lo, acc_hi = carry
-            lo, hi = _unpack_i32(q_ref[pl.ds(i * dblk, dblk), :])
-            xc = src_ref[:, pl.ds(i * dblk, dblk)]
-            p_lo = jnp.dot(
-                xc, lo.astype(xc.dtype), preferred_element_type=jnp.float32
-            )
-            p_hi = jnp.dot(
-                xc, hi.astype(xc.dtype), preferred_element_type=jnp.float32
-            )
-            acc_lo = acc_lo + p_lo * sl_ref[pl.ds(i, 1), :]
-            acc_hi = acc_hi + p_hi * sh_ref[pl.ds(i, 1), :]
-            return acc_lo, acc_hi
-
-        z = jnp.zeros((bp, nblk), jnp.float32)
-        return jax.lax.fori_loop(0, g, chunk, (z, z))
 
     @pl.when(j == 0)
     def _():
@@ -466,7 +446,9 @@ def _mlp_block_kernel(
 
     @pl.when(j < n_gu)
     def _():
-        gate, up = matvec(xn_ref, qgu_ref, sgl_ref, sgh_ref, sgl_ref.shape[0])
+        gate, up = nibble_matvec_acc(
+            xn_ref, qgu_ref, sgl_ref, sgh_ref, dblk=dblk, g=sgl_ref.shape[0]
+        )
         h = gate * jax.nn.sigmoid(gate) * up
         h_ref[:, pl.ds(j * nblk, nblk)] = h.astype(jnp.bfloat16)
 
@@ -475,7 +457,9 @@ def _mlp_block_kernel(
         # residual add per output block: the lo half covers output columns
         # [jd*nblk, +nblk), the hi half the same range offset by D/2
         jd = j - n_gu
-        lo, hi = matvec(h_ref, qdn_ref, sdl_ref, sdh_ref, sdl_ref.shape[0])
+        lo, hi = nibble_matvec_acc(
+            h_ref, qdn_ref, sdl_ref, sdh_ref, dblk=dblk, g=sdl_ref.shape[0]
+        )
         d_half = x_ref.shape[1] // 2
         out_ref[0] = lo + x_ref[:, pl.ds(jd * nblk, nblk)].astype(jnp.float32)
         out_ref[1] = hi + x_ref[

@@ -207,7 +207,8 @@ class EpisodeRunner:
                 else:
                     o, d, info = feeds[i].step(action)
                     obs[i] = o
-                    dev_obs[i] = self._upload(o)  # stream while others render
+                    if not d:  # stream while the other feeds render
+                        dev_obs[i] = self._upload(o)
                     if d:
                         results[i] = {
                             "steps": stepk + 1,

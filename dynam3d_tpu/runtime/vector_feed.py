@@ -141,12 +141,16 @@ class VectorFeedPool:
         for i in range(len(self)):
             try:
                 results.append(self._recv(i))
-            except RuntimeError as e:
+            except (RuntimeError, EOFError, OSError) as e:
+                # a dead worker (EOFError) must not abort the drain: the
+                # other pipes still hold computed responses
                 results.append(None)
                 if first_err is None:
                     first_err = e
         if first_err is not None:
-            raise first_err
+            raise first_err if isinstance(first_err, RuntimeError) else (
+                RuntimeError(f"feed worker died: {first_err!r}")
+            )
         return results
 
     # --- batched Feed surface ----------------------------------------------

@@ -37,6 +37,8 @@ def main():
     lens = [
         int(x) for x in os.environ.get("DYNAM3D_AB_TOKENS", "20,5").split(",")
     ]
+    if len(set(lens)) < 2:
+        raise SystemExit("DYNAM3D_AB_TOKENS needs two distinct chain lengths")
 
     rng = np.random.default_rng(0)
     params = phi3.init_phi3_params(jax.random.PRNGKey(0), cfg)
