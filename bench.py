@@ -111,7 +111,10 @@ def render_bench():
     from dynam3d_tpu.models.render.nerf import init_render_params, render_view
 
     steps = int(os.environ.get("DYNAM3D_BENCH_STEPS", "8"))
-    cfg = FieldsConfig()
+    cfg = FieldsConfig(
+        knn_tile=int(os.environ.get("DYNAM3D_KNN_TILE", "2048")),
+        knn_band=int(os.environ.get("DYNAM3D_KNN_BAND", "32")),
+    )
     params = init_render_params(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
     # patch table from a synthetic WALK (576 frustum-clustered patches per

@@ -64,6 +64,11 @@ class FieldsConfig:
     mlp_net_width: int = 768
     n_samples: int = 501            # coarse samples per ray
     n_importance: int = 8           # fine (important) samples per ray
+    # banded ray-kNN culling granularity (ops/knn.py::knn_banded): points
+    # per bbox tile and depth samples per query band; defaults from the
+    # on-chip sweep at 20k Morton-sorted walk-clustered patches
+    knn_tile: int = 2048
+    knn_band: int = 32
 
     # tombstone marker for deleted entries (feature_fields.py:357,378,392)
     tombstone: float = -10000.0

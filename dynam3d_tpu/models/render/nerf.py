@@ -265,7 +265,10 @@ def _render_core(
         else:
             perm = morton_perm(state.patch_pos, state.patch_valid)
             ppos, pval = state.patch_pos[perm], state.patch_valid[perm]
-        sq_d, _ = knn_banded(ray_xyz, ppos, pval, K, cfg.search_radius)
+        sq_d, _ = knn_banded(
+            ray_xyz, ppos, pval, K, cfg.search_radius,
+            tile=cfg.knn_tile, band=cfg.knn_band,
+        )
     d1, _ = radius_mask_fill(sq_d, jnp.zeros_like(sq_d, jnp.int32),
                              cfg.search_radius, clamp_dist=True)
     tmp_density = 1.0 / jnp.maximum(d1.sum(-1).reshape(R, NS), 1e-9)

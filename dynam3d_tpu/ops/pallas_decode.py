@@ -102,18 +102,21 @@ def _streamed_matvec(h_ref, q4_hbm, sl_ref, sh_ref, y_ref, wbuf, wsem,
     jax.lax.fori_loop(0, nb, body, 0, unroll=False)
 
 
-def _rope_flat(flat, cos, sin, heads, hd):
-    """RoPE on a ``[1, heads*hd]`` lane-layout vector (HF rotate-half)."""
-    half = hd // 2
-    x = flat.reshape(heads, hd).astype(jnp.float32)
-    x1, x2 = x[:, :half], x[:, half:]
-    o1 = x1 * cos - x2 * sin
-    o2 = x2 * cos + x1 * sin
-    return (
-        jnp.concatenate([o1, o2], axis=-1)
-        .reshape(1, heads * hd)
-        .astype(jnp.bfloat16)
-    )
+def _rope_flat(flat, cosv, slo, shi, half):
+    """RoPE on a ``[1, heads*hd]`` lane-layout vector without any reshape
+    (Mosaic rejects the ``[1, D] -> [H, hd]`` lane shape cast).
+
+    HF rotate-half pairs lane ``l`` (head offset ``i = l % hd``) with lane
+    ``l + half`` (``i < half``) or ``l - half``: two whole-vector lane
+    rotations fetch both partners, and the precomputed masked sin vectors
+    (``slo`` nonzero only on ``i < half`` lanes, ``shi`` on the rest — so
+    cross-head wraparound lanes are zeroed) select the right one:
+    ``out = x*cos + roll(x, -half)*slo + roll(x, +half)*shi``."""
+    d = flat.shape[-1]
+    f = flat.astype(jnp.float32)
+    swap_lo = pltpu.roll(f, shift=d - half, axis=1)   # out[l] = f[l + half]
+    swap_hi = pltpu.roll(f, shift=half, axis=1)       # out[l] = f[l - half]
+    return (f * cosv + swap_lo * slo + swap_hi * shi).astype(jnp.bfloat16)
 
 
 def _decode_attn_kernel(
@@ -126,7 +129,7 @@ def _decode_attn_kernel(
     o_q4, o_sl, o_sh,         # packed o
     kc_ref, vc_ref,   # [L, 1, Tmax, D] bf16 cache (ANY; read-only here)
     mask_ref,         # [Tmax, 1] f32: 1 = attend (current slot excluded)
-    cos_ref, sin_ref, # [1, hd//2] f32
+    cosv_ref, slo_ref, shi_ref,  # [1, D] f32 per-lane rope vectors
     seg_ref,          # [D, H] bf16 block-diagonal head-segment matrix
     segt_ref,         # [H, D] bf16 transpose
     # outputs
@@ -159,12 +162,9 @@ def _decode_attn_kernel(
     _streamed_matvec(hbuf_ref, qkv_q4, qkv_sl, qkv_sh, y_ref, wbuf, wsem,
                      dblk=dblk, nblk=nblk)
 
-    cos = cos_ref[:]                       # [1, half] -> broadcast [H, half]
-    sin = sin_ref[:]
-    q = _rope_flat(y_ref[0:1, 0:D].astype(jnp.bfloat16), cos, sin, heads, hd)
-    k_new = _rope_flat(
-        y_ref[0:1, D : 2 * D].astype(jnp.bfloat16), cos, sin, heads, hd
-    )
+    cosv, slo, shi = cosv_ref[:], slo_ref[:], shi_ref[:]
+    q = _rope_flat(y_ref[0:1, 0:D], cosv, slo, shi, half)
+    k_new = _rope_flat(y_ref[0:1, D : 2 * D], cosv, slo, shi, half)
     v_new = y_ref[0:1, 2 * D : 3 * D].astype(jnp.bfloat16)
     knew_ref[:] = k_new
     vnew_ref[:] = v_new
@@ -319,6 +319,18 @@ def decode_attn_layer(
         seg[hh * hd : (hh + 1) * hd, hh] = 1.0
     seg = jnp.asarray(seg, jnp.bfloat16)
 
+    # per-lane rope vectors (the kernel applies rope without reshapes:
+    # see _rope_flat) — lane l has head offset i = l % hd, angle index
+    # i % (hd//2); slo/shi mask the two rotate-half partners
+    half = hd // 2
+    i_lane = np.arange(D) % hd
+    idx = jnp.asarray(i_lane % half)
+    lo_mask = jnp.asarray(i_lane < half)
+    cosv = cos.astype(jnp.float32)[idx].reshape(1, D)
+    sin_l = sin.astype(jnp.float32)[idx]
+    slo = jnp.where(lo_mask, -sin_l, 0.0).reshape(1, D)
+    shi = jnp.where(lo_mask, 0.0, sin_l).reshape(1, D)
+
     kernel = functools.partial(
         _decode_attn_kernel,
         eps=eps, heads=heads, hd=hd, dblk=dblk, nblk=nblk, tmax=tmax,
@@ -338,8 +350,9 @@ def decode_attn_layer(
             pl.BlockSpec(memory_space=pl.ANY),    # cache k (HBM)
             pl.BlockSpec(memory_space=pl.ANY),    # cache v (HBM)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # mask
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # cos
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # sin
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # cosv
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # slo
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # shi
             pl.BlockSpec(memory_space=pltpu.VMEM),   # seg
             pl.BlockSpec(memory_space=pltpu.VMEM),   # segt
         ],
@@ -381,8 +394,7 @@ def decode_attn_layer(
         o.q4, o.s_lo, o.s_hi,
         cache_k, cache_v,
         mask.reshape(tmax, 1).astype(jnp.float32),
-        cos.reshape(1, hd // 2).astype(jnp.float32),
-        sin.reshape(1, hd // 2).astype(jnp.float32),
+        cosv, slo, shi,
         seg,
         seg.T,
     )
