@@ -41,7 +41,12 @@ INT4_FUSED_MLP: bool = _on("DYNAM3D_INT4_FUSED_MLP", "1")
 INT4_PER_SHAPE_NBLK: bool = _on("DYNAM3D_INT4_PER_SHAPE_NBLK")
 
 #: Fused decode-layer attention kernel (ops/pallas_decode.py): rmsnorm +
-#: int4 qkv + rope + cached attention + o-proj in one Pallas program.
-#: Applies to B=1 int4 decode at unpadded dims.  Opt-in until the on-chip
-#: A/B lands (tools/ab_fused_decode.py).
-FUSED_DECODE_ATTN: bool = _on("DYNAM3D_FUSED_ATTN")
+#: int4 qkv + rope + cached attention + o-proj in one Pallas program, with
+#: the MLP half as a second single program (int4_mlp_block).  Applies to
+#: B=1 int4 decode at unpadded dims.  On-chip A/B: 4.62 vs 4.93 ms/token
+#: unfused (tools/ab_fused_decode.py, docs/BENCH_NOTES.md round 3).
+FUSED_DECODE_ATTN: bool = _on("DYNAM3D_FUSED_ATTN", "1")
+
+#: Store packed int4 weights block-major ([nb, Dp, nblk]) so each column
+#: block streams as one contiguous DMA instead of nblk-byte strided rows.
+INT4_BLOCK_MAJOR: bool = _on("DYNAM3D_INT4_BLOCK_MAJOR")

@@ -269,10 +269,11 @@ def _fused_decode_eligible(params: Params, cfg: Phi3Config, batch: int) -> bool:
         isinstance(qkv, dict) and "q4" in qkv
         and isinstance(o, dict) and "q4" in o
         and qkv["q4"].d == D and qkv["q4"].n == 3 * D
-        and qkv["q4"].n == 2 * qkv["q4"].q4.shape[1]   # no packing padding
+        and qkv["q4"].n == 2 * qkv["q4"].n2            # no packing padding
         and o["q4"].d == D and o["q4"].n == D
-        and o["q4"].n == 2 * o["q4"].q4.shape[1]
+        and o["q4"].n == 2 * o["q4"].n2
         and qkv["q4"].dblk == o["q4"].dblk
+        and qkv["q4"].blocked == o["q4"].blocked
     )
 
 
@@ -501,7 +502,9 @@ def quantize_phi3(params: Params, bits: int = 8, consume: bool = False) -> Param
             nblk = 512
             if flags.INT4_PER_SHAPE_NBLK:
                 nblk = 1024 if (d_w >= 4096 or n_w <= 4096) else 512
-            out["q4"] = pack_int4(wf, nblk=nblk)
+            out["q4"] = pack_int4(
+                wf, nblk=nblk, blocked=flags.INT4_BLOCK_MAJOR
+            )
         return out
 
     def q_weight(lp, name):

@@ -75,15 +75,21 @@ def _matvec_acc(h_ref, q4_vmem, sl_ref, sh_ref, y_ref, *, jb, dblk, nblk, n2):
 
 
 def _streamed_matvec(h_ref, q4_hbm, sl_ref, sh_ref, y_ref, wbuf, wsem,
-                     *, dblk, nblk):
-    """y[_BP, N] = h @ unpack(q4) with a 2-slot double-buffered DMA."""
-    n2 = q4_hbm.shape[1]
-    nb = n2 // nblk
+                     *, dblk, nblk, blocked):
+    """y[_BP, N] = h @ unpack(q4) with a 2-slot double-buffered DMA.
+
+    ``blocked`` weights ([nb, D, nblk] block-major) stream each block as one
+    contiguous chunk; flat ([D, Np/2]) blocks are nblk-byte-per-row strided."""
+    if blocked:
+        nb = q4_hbm.shape[0]
+        n2 = nb * nblk
+    else:
+        n2 = q4_hbm.shape[1]
+        nb = n2 // nblk
 
     def dma(slot, jb):
-        return pltpu.make_async_copy(
-            q4_hbm.at[:, pl.ds(jb * nblk, nblk)], wbuf.at[slot], wsem.at[slot]
-        )
+        src = q4_hbm.at[jb] if blocked else q4_hbm.at[:, pl.ds(jb * nblk, nblk)]
+        return pltpu.make_async_copy(src, wbuf.at[slot], wsem.at[slot])
 
     dma(0, 0).start()
 
@@ -144,6 +150,7 @@ def _decode_attn_kernel(
     kbuf, vbuf, ksem, vsem,   # [2, _ROWS, D] bf16 + sems (KV double buffer)
     *,
     eps: float, heads: int, hd: int, dblk: int, nblk: int, tmax: int,
+    blocked: bool,
 ):
     D = x_ref.shape[1]
     half = hd // 2
@@ -160,7 +167,7 @@ def _decode_attn_kernel(
 
     # ---- qkv matvec ----
     _streamed_matvec(hbuf_ref, qkv_q4, qkv_sl, qkv_sh, y_ref, wbuf, wsem,
-                     dblk=dblk, nblk=nblk)
+                     dblk=dblk, nblk=nblk, blocked=blocked)
 
     cosv, slo, shi = cosv_ref[:], slo_ref[:], shi_ref[:]
     q = _rope_flat(y_ref[0:1, 0:D], cosv, slo, shi, half)
@@ -273,7 +280,7 @@ def _decode_attn_kernel(
     hbuf_ref[:] = jnp.zeros((_BP, D), jnp.bfloat16)
     hbuf_ref[0:1, :] = ctx
     _streamed_matvec(hbuf_ref, o_q4, o_sl, o_sh, yo_ref, wbuf, wsem,
-                     dblk=dblk, nblk=nblk)
+                     dblk=dblk, nblk=nblk, blocked=blocked)
     out_ref[:] = (
         x_ref[0:1, :].astype(jnp.float32) + yo_ref[0:1, :]
     ).astype(jnp.bfloat16)
@@ -309,6 +316,7 @@ def decode_attn_layer(
     tmax = cache_k.shape[2]
     assert tmax % _ROWS == 0, f"cache length {tmax} % {_ROWS} != 0"
     assert qkv.n == 3 * D and qkv.d == D and o.d == D and o.n == D
+    assert qkv.blocked == o.blocked
     nblk = min(qkv.nblk, o.nblk)
     dblk = qkv.dblk
     assert o.dblk == dblk
@@ -334,6 +342,7 @@ def decode_attn_layer(
     kernel = functools.partial(
         _decode_attn_kernel,
         eps=eps, heads=heads, hd=hd, dblk=dblk, nblk=nblk, tmax=tmax,
+        blocked=qkv.blocked,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -52,12 +52,23 @@ def _round_up(x: int, m: int) -> int:
 
 @jax.tree_util.register_pytree_node_class
 class Int4Weight:
-    """Packed int4 weight: ``q4`` int8 ``[Dp, Np/2]`` (two nibbles/byte),
+    """Packed int4 weight: ``q4`` int8 (two nibbles/byte) with
     ``s_lo``/``s_hi`` f32 ``[Dp/dblk, Np/2]`` group-wise scales.  ``d``/``n``
     (the unpadded shape) and the block sizes ride as static aux data so the
-    matmul can slice the padding off under ``jit``."""
+    matmul can slice the padding off under ``jit``.
 
-    def __init__(self, q4, s_lo, s_hi, d: int, n: int, dblk: int, nblk: int):
+    Two storage layouts for ``q4``:
+      - flat (``blocked=False``): ``[Dp, Np/2]`` — a column-block DMA reads
+        ``nblk`` bytes per row, a strided pattern;
+      - block-major (``blocked=True``): ``[Np/2 // nblk, Dp, nblk]`` — each
+        column block is one fully CONTIGUOUS chunk in HBM, which is what the
+        DMA engines want (the decode matvecs stream these blocks).
+    """
+
+    def __init__(
+        self, q4, s_lo, s_hi, d: int, n: int, dblk: int, nblk: int,
+        blocked: bool = False,
+    ):
         self.q4 = q4
         self.s_lo = s_lo
         self.s_hi = s_hi
@@ -65,10 +76,22 @@ class Int4Weight:
         self.n = n
         self.dblk = dblk
         self.nblk = nblk
+        self.blocked = blocked
+
+    @property
+    def n2(self) -> int:
+        """Packed column count Np/2 regardless of layout."""
+        if self.blocked:
+            return self.q4.shape[0] * self.q4.shape[2]
+        return self.q4.shape[1]
+
+    @property
+    def dp(self) -> int:
+        return self.q4.shape[1] if self.blocked else self.q4.shape[0]
 
     def tree_flatten(self):
         return (self.q4, self.s_lo, self.s_hi), (
-            self.d, self.n, self.dblk, self.nblk
+            self.d, self.n, self.dblk, self.nblk, self.blocked
         )
 
     @classmethod
@@ -76,14 +99,17 @@ class Int4Weight:
         return cls(*leaves, *aux)
 
 
-def pack_int4(w: jnp.ndarray, dblk: int = 1024, nblk: int = 512) -> Int4Weight:
+def pack_int4(
+    w: jnp.ndarray, dblk: int = 1024, nblk: int = 512, blocked: bool = False
+) -> Int4Weight:
     """Quantize ``w [D, N]`` to packed int4 with group-``dblk`` scales.
 
     Block defaults come from an on-chip sweep at the Phi-3 gate_up shape
     (3072x16384, v5e): dblk=1024/nblk=512 measured 40.9 us/matvec = 616 GB/s
     effective HBM read (75% of peak), vs 87 us for the XLA int8 matvec —
     smaller dblk pays more VPU unpack overhead per chunk, larger nblk
-    lengthens the pipeline stages past the sweet spot."""
+    lengthens the pipeline stages past the sweet spot.  ``blocked=True``
+    stores block-major (see Int4Weight) so each block DMA is contiguous."""
     d, n = w.shape
     dp, np_ = _round_up(d, dblk), _round_up(n, 2 * nblk)
     wf = jnp.asarray(w, jnp.float32)
@@ -99,9 +125,19 @@ def pack_int4(w: jnp.ndarray, dblk: int = 1024, nblk: int = 512) -> Int4Weight:
     lo, hi = q[:, :n2], q[:, n2:]
     packed = ((hi & 0xF) << 4) | (lo & 0xF)              # 0..255 in int32
     packed = jnp.where(packed >= 128, packed - 256, packed).astype(jnp.int8)
+    if blocked:
+        packed = packed.reshape(dp, n2 // nblk, nblk).transpose(1, 0, 2)
     return Int4Weight(
-        packed, scale[:, :n2], scale[:, n2:], d, n, dblk, nblk
+        packed, scale[:, :n2], scale[:, n2:], d, n, dblk, nblk, blocked
     )
+
+
+def unblock_q4(w: Int4Weight) -> jnp.ndarray:
+    """The flat ``[Dp, Np/2]`` view of ``q4`` in either layout."""
+    if not w.blocked:
+        return w.q4
+    nb, dp, nblk = w.q4.shape
+    return w.q4.transpose(1, 0, 2).reshape(dp, nb * nblk)
 
 
 def _unpack_i32(q: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -159,15 +195,25 @@ def _pallas_int4_matmul(
 ) -> jnp.ndarray:
     """xp [Bp, Dp] bf16 (padded) -> [Bp, Np] f32 (padded, halves concatenated)."""
     bp, dp = xp.shape
-    n2 = w.q4.shape[1]
+    n2 = w.n2
     g = w.s_lo.shape[0]
     nblk = min(w.nblk, n2)
+    if w.blocked:
+        # block-major storage: block j is q4[j] — one CONTIGUOUS chunk;
+        # the leading None squeezes it so the kernel body is unchanged
+        q4_spec = pl.BlockSpec(
+            (None, dp, nblk), lambda j: (j, 0, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        q4_spec = pl.BlockSpec(
+            (dp, nblk), lambda j: (0, j), memory_space=pltpu.VMEM
+        )
     out = pl.pallas_call(
         functools.partial(_kernel, dblk=w.dblk),
         grid=(n2 // nblk,),
         in_specs=[
             pl.BlockSpec((bp, dp), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dp, nblk), lambda j: (0, j), memory_space=pltpu.VMEM),
+            q4_spec,
             pl.BlockSpec((g, nblk), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, nblk), lambda j: (0, j), memory_space=pltpu.VMEM),
         ],
@@ -224,16 +270,25 @@ def _pallas_int4_matmul2d(
     1D variant trips a jax-0.9 lowering-cache KeyError (closed_call); it is
     only ever called from already-jitted callers anyway."""
     bp, dp = xp.shape
-    n2 = w.q4.shape[1]
+    n2 = w.n2
     g = w.s_lo.shape[0]
     nblk = min(w.nblk, n2)
     dblk = w.dblk
+    if w.blocked:
+        q4_spec = pl.BlockSpec(
+            (None, dblk, nblk), lambda j, i: (j, i, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        q4_spec = pl.BlockSpec(
+            (dblk, nblk), lambda j, i: (i, j), memory_space=pltpu.VMEM
+        )
     out = pl.pallas_call(
         _kernel2d,
         grid=(n2 // nblk, g),
         in_specs=[
             pl.BlockSpec((bp, dblk), lambda j, i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dblk, nblk), lambda j, i: (i, j), memory_space=pltpu.VMEM),
+            q4_spec,
             pl.BlockSpec((g, nblk), lambda j, i: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, nblk), lambda j, i: (0, j), memory_space=pltpu.VMEM),
         ],
@@ -257,9 +312,9 @@ def _pallas_int4_matmul2d(
 def _xla_int4_matmul(xp: jnp.ndarray, w: Int4Weight) -> jnp.ndarray:
     """Fallback (CPU tests / non-TPU): dequantize then matmul.  Materializes
     the bf16 weights, so it carries none of the bandwidth win."""
-    lo, hi = _unpack_i32(w.q4)
+    lo, hi = _unpack_i32(unblock_q4(w))
     g, dblk = w.s_lo.shape[0], w.dblk
-    n2 = w.q4.shape[1]
+    n2 = w.n2
 
     def deq(q, s):
         qf = q.reshape(g, dblk, n2).astype(jnp.float32)
@@ -315,23 +370,39 @@ def _pallas_int4_mlp(
 ) -> jnp.ndarray:
     """xp [Bp, Dp] bf16 -> [Bp, Np_dn] f32 (padded halves concatenated)."""
     bp, dp = xp.shape
-    n2_gu = gu.q4.shape[1]            # = intermediate size I (lo=gate, hi=up)
-    n2_dn = dn.q4.shape[1]
-    ip = dn.q4.shape[0]               # padded I for the down projection
+    assert gu.blocked == dn.blocked
+    n2_gu = gu.n2                     # = intermediate size I (lo=gate, hi=up)
+    n2_dn = dn.n2
+    ip = dn.dp                        # padded I for the down projection
     nblk = gu.nblk
     n_gu = n2_gu // nblk
     n_dn = n2_dn // nblk
     g_gu = gu.s_lo.shape[0]
     g_dn = dn.s_lo.shape[0]
+    if gu.blocked:   # block-major: every weight-block DMA is contiguous
+        qgu_spec = pl.BlockSpec(
+            (None, dp, nblk), lambda j: (jnp.minimum(j, n_gu - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        qdn_spec = pl.BlockSpec(
+            (None, ip, nblk), lambda j: (jnp.maximum(j - n_gu, 0), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        qgu_spec = pl.BlockSpec(
+            (dp, nblk), lambda j: (0, jnp.minimum(j, n_gu - 1)),
+            memory_space=pltpu.VMEM,
+        )
+        qdn_spec = pl.BlockSpec(
+            (ip, nblk), lambda j: (0, jnp.maximum(j - n_gu, 0)),
+            memory_space=pltpu.VMEM,
+        )
     out = pl.pallas_call(
         functools.partial(_mlp_kernel, dblk=gu.dblk, n_gu=n_gu),
         grid=(n_gu + n_dn,),
         in_specs=[
             pl.BlockSpec((bp, dp), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (dp, nblk), lambda j: (0, jnp.minimum(j, n_gu - 1)),
-                memory_space=pltpu.VMEM,
-            ),
+            qgu_spec,
             pl.BlockSpec(
                 (g_gu, nblk), lambda j: (0, jnp.minimum(j, n_gu - 1)),
                 memory_space=pltpu.VMEM,
@@ -340,10 +411,7 @@ def _pallas_int4_mlp(
                 (g_gu, nblk), lambda j: (0, jnp.minimum(j, n_gu - 1)),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (ip, nblk), lambda j: (0, jnp.maximum(j - n_gu, 0)),
-                memory_space=pltpu.VMEM,
-            ),
+            qdn_spec,
             pl.BlockSpec(
                 (g_dn, nblk), lambda j: (0, jnp.maximum(j - n_gu, 0)),
                 memory_space=pltpu.VMEM,
@@ -394,7 +462,8 @@ def int4_mlp(
         # lo|hi nibble halves are exactly gate|up ONLY when the packed
         # column count had no padding (I a multiple of nblk) — true at
         # Phi-3 dims (8192/512); tiny configs fall back
-        and gate_up.n == 2 * gate_up.q4.shape[1]
+        and gate_up.n == 2 * gate_up.n2
+        and gate_up.blocked == down.blocked
         and not flags.DISABLE_PALLAS
     )
     if not use_pallas:
@@ -402,14 +471,14 @@ def int4_mlp(
         gate, up = jnp.split(h, 2, axis=-1)
         h = (jax.nn.silu(gate) * up).astype(x.dtype)
         # re-pad hidden to the down pack's row count
-        pad = down.q4.shape[0] - h.shape[-1]
+        pad = down.dp - h.shape[-1]
         if pad:
             h = jnp.concatenate(
                 [h, jnp.zeros((*h.shape[:-1], pad), h.dtype)], axis=-1
             )
         return int4_matmul(h, down, out_dtype=out_dtype or x.dtype)
     d = x.shape[-1]
-    dp = gate_up.q4.shape[0]
+    dp = gate_up.dp
     bp = _round_up(max(rows, 1), 16)
     xp = jnp.pad(
         x.reshape(rows, d).astype(jnp.bfloat16),
@@ -476,12 +545,31 @@ def _pallas_int4_mlp_block(
     ``x + down(swiglu(rmsnorm(x)))`` (halves concatenated by the caller's
     reshape).  Requires unpadded dims: gu.d == xp.shape[1] == dn.n."""
     bp, d = xp.shape
-    n2_gu = gu.q4.shape[1]
-    n2_dn = dn.q4.shape[1]
-    ip = dn.q4.shape[0]
+    assert gu.blocked == dn.blocked
+    n2_gu = gu.n2
+    n2_dn = dn.n2
+    ip = dn.dp
     nblk = gu.nblk
     n_gu = n2_gu // nblk
     n_dn = n2_dn // nblk
+    if gu.blocked:
+        qgu_spec = pl.BlockSpec(
+            (None, d, nblk), lambda j: (jnp.minimum(j, n_gu - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        qdn_spec = pl.BlockSpec(
+            (None, ip, nblk), lambda j: (jnp.maximum(j - n_gu, 0), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        qgu_spec = pl.BlockSpec(
+            (d, nblk), lambda j: (0, jnp.minimum(j, n_gu - 1)),
+            memory_space=pltpu.VMEM,
+        )
+        qdn_spec = pl.BlockSpec(
+            (ip, nblk), lambda j: (0, jnp.maximum(j - n_gu, 0)),
+            memory_space=pltpu.VMEM,
+        )
     out = pl.pallas_call(
         functools.partial(
             _mlp_block_kernel, dblk=gu.dblk, n_gu=n_gu, eps=eps
@@ -490,10 +578,7 @@ def _pallas_int4_mlp_block(
         in_specs=[
             pl.BlockSpec((bp, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (d, nblk), lambda j: (0, jnp.minimum(j, n_gu - 1)),
-                memory_space=pltpu.VMEM,
-            ),
+            qgu_spec,
             pl.BlockSpec(
                 (gu.s_lo.shape[0], nblk),
                 lambda j: (0, jnp.minimum(j, n_gu - 1)),
@@ -504,10 +589,7 @@ def _pallas_int4_mlp_block(
                 lambda j: (0, jnp.minimum(j, n_gu - 1)),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (ip, nblk), lambda j: (0, jnp.maximum(j - n_gu, 0)),
-                memory_space=pltpu.VMEM,
-            ),
+            qdn_spec,
             pl.BlockSpec(
                 (dn.s_lo.shape[0], nblk),
                 lambda j: (0, jnp.maximum(j - n_gu, 0)),
@@ -564,10 +646,11 @@ def int4_mlp_block(
         and rows <= 16
         and gate_up.nblk == down.nblk
         and gate_up.dblk == down.dblk
-        and gate_up.n == 2 * gate_up.q4.shape[1]
-        and down.n == 2 * down.q4.shape[1]
+        and gate_up.n == 2 * gate_up.n2
+        and down.n == 2 * down.n2
         and gate_up.d == d == down.n
-        and gate_up.q4.shape[0] == d
+        and gate_up.dp == d
+        and gate_up.blocked == down.blocked
         and not flags.DISABLE_PALLAS
     )
     if not use_pallas:
@@ -600,7 +683,7 @@ def int4_matmul(x: jnp.ndarray, w: Int4Weight, out_dtype=None) -> jnp.ndarray:
     d = x.shape[-1]
     rows = int(np.prod(lead)) if lead else 1
     xp = x.reshape(rows, d).astype(jnp.bfloat16)
-    dp = w.q4.shape[0]
+    dp = w.dp
     bp = _round_up(max(rows, 1), 16)
     xp = jnp.pad(xp, ((0, bp - rows), (0, dp - d)))
     use_pallas = (

@@ -395,3 +395,74 @@ def test_int4_mlp_block_matches_unfused():
     np.testing.assert_allclose(
         np.asarray(y), want, rtol=5e-2, atol=5e-2
     )
+
+
+def test_blocked_layout_matches_flat():
+    """Block-major int4 storage ([nb, Dp, nblk], contiguous DMA blocks) is
+    numerically identical to the flat layout across the matvec, fused MLP,
+    MLP-block, XLA fallback, and fused decode-attention kernels."""
+    import functools
+
+    from dynam3d_tpu.ops.pallas_decode import decode_attn_layer
+    from dynam3d_tpu.ops.pallas_int4 import (
+        _pallas_int4_matmul, _pallas_int4_mlp, _pallas_int4_mlp_block,
+        _xla_int4_matmul, pack_int4, unblock_q4,
+    )
+
+    rng = np.random.default_rng(4)
+    D, I = 256, 512
+    w = jnp.asarray(rng.normal(scale=0.05, size=(D, 2 * I)), jnp.float32)
+    flat = pack_int4(w, dblk=128, nblk=128)
+    blk = pack_int4(w, dblk=128, nblk=128, blocked=True)
+    np.testing.assert_array_equal(np.asarray(unblock_q4(blk)),
+                                  np.asarray(flat.q4))
+
+    xp = jnp.asarray(rng.normal(size=(16, D)), jnp.bfloat16)
+    y_flat = _pallas_int4_matmul(xp, flat, interpret=True)
+    y_blk = _pallas_int4_matmul(xp, blk, interpret=True)
+    np.testing.assert_array_equal(np.asarray(y_flat), np.asarray(y_blk))
+    np.testing.assert_allclose(
+        np.asarray(_xla_int4_matmul(xp, blk)),
+        np.asarray(_xla_int4_matmul(xp, flat)), rtol=1e-6,
+    )
+
+    wdn = jnp.asarray(rng.normal(scale=0.05, size=(I, D)), jnp.float32)
+    dn_flat = pack_int4(wdn, dblk=128, nblk=128)
+    dn_blk = pack_int4(wdn, dblk=128, nblk=128, blocked=True)
+    m_flat = _pallas_int4_mlp(xp, flat, dn_flat, interpret=True)
+    m_blk = _pallas_int4_mlp(xp, blk, dn_blk, interpret=True)
+    np.testing.assert_array_equal(np.asarray(m_flat), np.asarray(m_blk))
+
+    lnw = jnp.ones((1, D), jnp.float32)
+    b_flat = _pallas_int4_mlp_block(xp, lnw, flat, dn_flat, 1e-5,
+                                    interpret=True)
+    b_blk = _pallas_int4_mlp_block(xp, lnw, blk, dn_blk, 1e-5,
+                                   interpret=True)
+    np.testing.assert_array_equal(np.asarray(b_flat), np.asarray(b_blk))
+
+    # fused decode attention: blocked qkv/o
+    heads, hd = 4, 64
+    L, tmax, pos = 2, 512, 70
+    wqkv = jnp.asarray(rng.normal(scale=0.05, size=(D, 3 * D)), jnp.float32)
+    wo = jnp.asarray(rng.normal(scale=0.05, size=(D, D)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(1, 1, D)), jnp.bfloat16)
+    ck = jnp.asarray(rng.normal(scale=0.1, size=(L, 1, tmax, D)), jnp.bfloat16)
+    cv = jnp.asarray(rng.normal(scale=0.1, size=(L, 1, tmax, D)), jnp.bfloat16)
+    mask = np.zeros(tmax, np.float32)
+    mask[:pos] = 1.0
+    half = hd // 2
+    freqs = 1e4 ** (-np.arange(half) / half)
+    cos = jnp.asarray(np.cos(pos * freqs), jnp.float32)
+    sin = jnp.asarray(np.sin(pos * freqs), jnp.float32)
+    outs = []
+    for blocked in (False, True):
+        qkv_p = pack_int4(wqkv, dblk=128, nblk=128, blocked=blocked)
+        o_p = pack_int4(wo, dblk=128, nblk=128, blocked=blocked)
+        out, k_new, v_new = decode_attn_layer(
+            x, jnp.ones(D, jnp.float32), qkv_p, o_p, ck, cv, 0, pos,
+            jnp.asarray(mask), cos, sin,
+            eps=1e-5, heads=heads, hd=hd, interpret=True,
+        )
+        outs.append((np.asarray(out), np.asarray(k_new), np.asarray(v_new)))
+    for a, b in zip(outs[0], outs[1]):
+        np.testing.assert_array_equal(a, b)
