@@ -120,7 +120,7 @@ def render_bench():
     # patch table from a synthetic WALK (576 frustum-clustered patches per
     # frame), the layout real episodes produce — uniform scatter would both
     # misrepresent usage and defeat the banded k-NN's bbox culling
-    frames = 35
+    frames = int(os.environ.get("DYNAM3D_BENCH_FRAMES", "35"))
     pts = []
     pos = np.array([0.0, 0.0, 1.3])
     for _ in range(frames):

@@ -265,9 +265,12 @@ def _render_core(
         else:
             perm = morton_perm(state.patch_pos, state.patch_valid)
             ppos, pval = state.patch_pos[perm], state.patch_valid[perm]
+        # with_indices=False: stage 1 never reads the neighbor ids, and the
+        # values-only merge (argmin extraction) is far cheaper than the
+        # per-tile top_k sort it replaces
         sq_d, _ = knn_banded(
             ray_xyz, ppos, pval, K, cfg.search_radius,
-            tile=cfg.knn_tile, band=cfg.knn_band,
+            tile=cfg.knn_tile, band=cfg.knn_band, with_indices=False,
         )
     d1, _ = radius_mask_fill(sq_d, jnp.zeros_like(sq_d, jnp.int32),
                              cfg.search_radius, clamp_dist=True)

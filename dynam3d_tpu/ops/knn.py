@@ -128,7 +128,9 @@ def knn_tiled(
     return dists, inds
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile", "band"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile", "band", "with_indices")
+)
 def knn_banded(
     q_struct: jnp.ndarray,     # [R, NS, 3] ray-structured queries
     points: jnp.ndarray,       # [P, 3]
@@ -137,6 +139,7 @@ def knn_banded(
     radius: float,
     tile: int = 2048,
     band: int = 32,
+    with_indices: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Radius-exact k-NN for RAY-STRUCTURED queries with spatial culling.
 
@@ -159,7 +162,16 @@ def knn_banded(
     uniformly scattered tables culling finds nothing and it degrades
     toward ``knn_tiled`` plus the bbox tests.
 
-    Returns flat ``(sq_dists [R*NS, k], indices [R*NS, k])``.
+    ``with_indices=False`` (the render stage-1 shape, which consumes only
+    the distance field) replaces the per-tile ``lax.top_k`` merge — a full
+    sort network over ``tile + k`` columns, by far the dominant cost of a
+    near pair — with ``k`` unrolled argmin-extraction rounds (3 linear
+    passes each) and skips the index iota / gather entirely.  Positional
+    (argmin) extraction keeps exact-duplicate distances distinct, so the
+    distances are identical to the top_k path's.
+
+    Returns flat ``(sq_dists [R*NS, k], indices [R*NS, k])``; with
+    ``with_indices=False`` the indices are all -1.
     """
     R, NS, _ = q_struct.shape
     nb = -(-NS // band)
@@ -196,6 +208,15 @@ def knn_banded(
                 bd, bi = c
                 d = _pairwise_sq_dists(qc, pts)
                 d = jnp.where(val[None, :], d, _BIG)
+                if not with_indices:
+                    cd = jnp.concatenate([bd, d], axis=1)
+                    cols = jax.lax.broadcasted_iota(jnp.int32, cd.shape, 1)
+                    outs = []
+                    for _ in range(k):
+                        am = jnp.argmin(cd, axis=1)
+                        outs.append(jnp.min(cd, axis=1))
+                        cd = jnp.where(cols == am[:, None], _BIG, cd)
+                    return jnp.stack(outs, axis=1), bi
                 ids = start + jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
                 cd = jnp.concatenate([bd, d], axis=1)
                 ci = jnp.concatenate([bi, ids], axis=1)

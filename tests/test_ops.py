@@ -190,6 +190,20 @@ def test_knn_banded_radius_exact():
     )
     assert (np.asarray(bd2) >= 1e9).all()
 
+    # values-only mode (render stage 1): identical distances (argmin
+    # extraction vs top_k sort), indices all -1
+    vd, vi = knn_banded(
+        jnp.asarray(q), jnp.asarray(pts), jnp.asarray(valid), K, radius,
+        tile=256, band=8, with_indices=False,
+    )
+    np.testing.assert_allclose(np.asarray(vd), bd, rtol=1e-6, atol=1e-6)
+    assert (np.asarray(vi) == -1).all()
+    vd2, _ = knn_banded(
+        jnp.asarray(q), jnp.asarray(pts), jnp.zeros(len(pts), bool), K, radius,
+        tile=256, band=8, with_indices=False,
+    )
+    assert (np.asarray(vd2) >= 1e9).all()
+
 
 def test_morton_perm_orders_spatially():
     """Morton codes: valid permutation, invalids pushed last, and tile

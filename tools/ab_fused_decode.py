@@ -62,9 +62,15 @@ def main():
         per_len = {}
         for n in lens:
             # params MUST be an argument: closing over them bakes gigabytes
-            # of constants into lowering (takes tens of minutes)
+            # of constants into lowering (takes tens of minutes).
+            # stop_token=-1 (unreachable) disables greedy_decode's early-exit
+            # while_loop: under random weights one path can emit the real stop
+            # token a few steps in, which truncates the chain and makes the
+            # slope nonsense (a measured 0.411 "ms/token" artifact).
             fn = jax.jit(
-                lambda p, e, v, n=n: phi3.greedy_decode(p, cfg, e, v, n)
+                lambda p, e, v, n=n: phi3.greedy_decode(
+                    p, cfg, e, v, n, stop_token=-1
+                )
             )
             t0 = time.time()
             out = fn(params, embeds, valid)
