@@ -66,9 +66,11 @@ class FieldsConfig:
     n_importance: int = 8           # fine (important) samples per ray
     # banded ray-kNN culling granularity (ops/knn.py::knn_banded): points
     # per bbox tile and depth samples per query band; defaults from the
-    # on-chip sweep at 20k Morton-sorted walk-clustered patches
-    knn_tile: int = 2048
-    knn_band: int = 32
+    # on-chip sweep at 32k Morton-sorted walk-clustered patches with the
+    # values-only stage-1 merge (54.3 ms/view vs 68.7 at 2048/32;
+    # docs/BENCH_NOTES.md round 3)
+    knn_tile: int = 1024
+    knn_band: int = 64
 
     # tombstone marker for deleted entries (feature_fields.py:357,378,392)
     tombstone: float = -10000.0
