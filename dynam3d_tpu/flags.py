@@ -47,6 +47,17 @@ INT4_PER_SHAPE_NBLK: bool = _on("DYNAM3D_INT4_PER_SHAPE_NBLK")
 #: unfused (tools/ab_fused_decode.py, docs/BENCH_NOTES.md round 3).
 FUSED_DECODE_ATTN: bool = _on("DYNAM3D_FUSED_ATTN", "1")
 
+#: Whole-layer fused decode kernel (ops/pallas_decode.py::decode_layer):
+#: qkv + rope + cached attention + o-proj + norm + SwiGLU MLP + residuals in
+#: ONE grid-pipelined program per layer.  MEASURED NEUTRAL vs the
+#: two-program split (4.06 vs 4.04 ms/token, tools/ab_fused_decode.py
+#: 8->128 chains; docs/BENCH_NOTES.md round 3) — the grid pipeline's
+#: one-block lookahead cannot keep the HBM bus busy through the ~25 us
+#: attention step, so merging the programs buys nothing.  Kept opt-in as
+#: the starting point for a manual-ring rewrite.  Only reached when
+#: FUSED_DECODE_ATTN is also on (it gates the fused decode dispatch).
+FUSED_DECODE_LAYER: bool = _on("DYNAM3D_FUSED_LAYER")
+
 #: Store packed int4 weights block-major ([nb, Dp, nblk]) so each column
 #: block streams as one contiguous DMA instead of nblk-byte strided rows.
 INT4_BLOCK_MAJOR: bool = _on("DYNAM3D_INT4_BLOCK_MAJOR")

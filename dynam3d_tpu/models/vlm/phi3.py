@@ -277,6 +277,29 @@ def _fused_decode_eligible(params: Params, cfg: Phi3Config, batch: int) -> bool:
     )
 
 
+def _fused_layer_eligible(params: Params, cfg: Phi3Config) -> bool:
+    """Extra eligibility for the whole-layer kernel: the MLP weights must be
+    packed int4 with the same block sizes as the attention ones."""
+    from dynam3d_tpu import flags
+
+    if not flags.FUSED_DECODE_LAYER:
+        return False
+    p0 = params["layers"][0]
+    qkv = p0["qkv"]["q4"]
+    gu, dn = p0.get("gate_up"), p0.get("down")
+    D = cfg.hidden_size
+    return (
+        isinstance(gu, dict) and "q4" in gu
+        and isinstance(dn, dict) and "q4" in dn
+        and gu["q4"].d == D and gu["q4"].n == 2 * gu["q4"].n2
+        and dn["q4"].n == D and dn["q4"].n == 2 * dn["q4"].n2
+        and gu["q4"].n2 == dn["q4"].dp               # swiglu width == down rows
+        and gu["q4"].dblk == qkv.dblk == dn["q4"].dblk
+        and gu["q4"].blocked == qkv.blocked == dn["q4"].blocked
+        and qkv.nblk == gu["q4"].nblk == dn["q4"].nblk
+    )
+
+
 def _decode_forward_fused(
     params: Params,
     cfg: Phi3Config,
@@ -286,10 +309,13 @@ def _decode_forward_fused(
     write_at,
     valid: jnp.ndarray,           # [1,Tmax] attendable slots (incl. current)
 ) -> Tuple[jnp.ndarray, KVCache]:
-    """Decode step over the fused attention kernel (ops/pallas_decode.py):
-    one Pallas program per layer covers rmsnorm + qkv + rope + cached
-    attention + o-proj; the MLP half stays on the fused int4 MLP kernel."""
-    from dynam3d_tpu.ops.pallas_decode import decode_attn_layer
+    """Decode step over the fused decode kernels (ops/pallas_decode.py).
+
+    Preferred: ONE whole-layer program per layer (``decode_layer`` — one
+    continuous HBM stream over qkv|KV|o|gate_up|down).  Fallback split:
+    the attention program (``decode_attn_layer``) + the fused int4 MLP
+    kernel as a second program."""
+    from dynam3d_tpu.ops.pallas_decode import decode_attn_layer, decode_layer
 
     D = cfg.hidden_size
     half = cfg.head_dim // 2
@@ -301,27 +327,37 @@ def _decode_forward_fused(
 
     from dynam3d_tpu.ops.pallas_int4 import int4_mlp_block
 
+    whole_layer = _fused_layer_eligible(params, cfg)
     x = embeds
     ck, cv = cache.k, cache.v
     for li in range(cfg.num_layers):
         p = params["layers"][li]
-        x, k_new, v_new = decode_attn_layer(
-            x, p["input_ln"], p["qkv"]["q4"], p["o"]["q4"], ck, cv,
-            li, write_at, mask_row, cos, sin,
-            eps=cfg.rms_eps, heads=cfg.num_heads, hd=cfg.head_dim,
-        )
+        if whole_layer:
+            x, k_new, v_new = decode_layer(
+                x, p["input_ln"], p["qkv"]["q4"], p["o"]["q4"],
+                p["post_ln"], p["gate_up"]["q4"], p["down"]["q4"],
+                ck, cv, li, write_at, mask_row, cos, sin,
+                eps=cfg.rms_eps, heads=cfg.num_heads, hd=cfg.head_dim,
+            )
+        else:
+            x, k_new, v_new = decode_attn_layer(
+                x, p["input_ln"], p["qkv"]["q4"], p["o"]["q4"], ck, cv,
+                li, write_at, mask_row, cos, sin,
+                eps=cfg.rms_eps, heads=cfg.num_heads, hd=cfg.head_dim,
+            )
         ck = jax.lax.dynamic_update_slice(
             ck, k_new.reshape(1, 1, 1, D), (li, 0, write_at, 0)
         )
         cv = jax.lax.dynamic_update_slice(
             cv, v_new.reshape(1, 1, 1, D), (li, 0, write_at, 0)
         )
-        # MLP half + its norm and residual as the second (and last) kernel
-        # of the layer — a fused decode layer is exactly two Pallas calls
-        x = int4_mlp_block(
-            x, p["post_ln"], p["gate_up"]["q4"], p["down"]["q4"],
-            cfg.rms_eps,
-        )
+        if not whole_layer:
+            # MLP half + its norm and residual as the second (and last)
+            # kernel of the layer
+            x = int4_mlp_block(
+                x, p["post_ln"], p["gate_up"]["q4"], p["down"]["q4"],
+                cfg.rms_eps,
+            )
     x = rms_norm(params["final_ln"], x, cfg.rms_eps)
     return _lm_head(params, x), KVCache(ck, cv)
 

@@ -466,3 +466,99 @@ def test_blocked_layout_matches_flat():
         outs.append((np.asarray(out), np.asarray(k_new), np.asarray(v_new)))
     for a, b in zip(outs[0], outs[1]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_fused_decode_layer_matches_split(monkeypatch):
+    """decode_layer (whole-layer program: qkv + attention + o + MLP in one
+    kernel, interpret mode) == the split fused path (attention program +
+    int4_mlp_block), logits and cache rows, at eligible dims."""
+    import functools
+
+    from dynam3d_tpu import flags
+    from dynam3d_tpu.config import Phi3Config
+    from dynam3d_tpu.models.vlm import phi3
+    from dynam3d_tpu.ops import pallas_decode
+    from dynam3d_tpu.ops.pallas_int4 import pack_int4
+
+    cfg = Phi3Config(
+        vocab_size=512, hidden_size=256, intermediate_size=512,
+        num_layers=2, num_heads=4, num_kv_heads=4, head_dim=64,
+        pad_token_id=260, end_token_id=257,
+    )
+    params = phi3.init_phi3_params(jax.random.PRNGKey(0), cfg)
+    qparams = phi3.quantize_phi3(params, bits=4)
+    # repack all four weight groups at matching small blocks (the whole-layer
+    # kernel's eligibility: shared dblk/nblk, no packing padding)
+    for li in range(cfg.num_layers):
+        lp = params["layers"][li]
+        qlp = qparams["layers"][li]
+        for name in ("qkv", "o", "gate_up", "down"):
+            qlp[name]["q4"] = pack_int4(
+                lp[name].astype(jnp.float32), dblk=128, nblk=128
+            )
+
+    monkeypatch.setattr(
+        pallas_decode, "decode_attn_layer",
+        functools.partial(
+            pallas_decode.decode_attn_layer.__wrapped__, interpret=True
+        ),
+    )
+    monkeypatch.setattr(
+        pallas_decode, "decode_layer",
+        functools.partial(
+            pallas_decode.decode_layer.__wrapped__, interpret=True
+        ),
+    )
+    # the whole-layer kernel is opt-in (measured neutral on hardware);
+    # force it on for the parity check
+    monkeypatch.setattr(flags, "FUSED_DECODE_LAYER", True)
+
+    rng = np.random.default_rng(5)
+    B, T, D = 1, 40, cfg.hidden_size
+    total = 512
+    cache = phi3.init_cache(cfg, B, total, dtype=jnp.bfloat16)
+    embeds = jnp.asarray(rng.normal(size=(B, T, D)), jnp.bfloat16)
+    av = np.ones((B, T), bool)
+    av[0, 30:34] = False
+    av = jnp.asarray(av)
+    positions = jnp.maximum(jnp.cumsum(av.astype(jnp.int32), 1) - 1, 0)
+    mask = phi3.prefill_mask(av, total)
+    _, cache = phi3.forward(qparams, cfg, embeds, positions, cache, 0, mask)
+
+    valid = np.zeros((B, total), bool)
+    valid[0, :T] = np.asarray(av)[0]
+    valid[0, T] = True
+    valid = jnp.asarray(valid)
+    e = jnp.asarray(rng.normal(size=(B, 1, D)), jnp.bfloat16)
+    pos = (jnp.sum(valid, axis=1) - 1)[:, None]
+    flat = phi3.KVCache(
+        cache.k.reshape(cfg.num_layers, B, total, D),
+        cache.v.reshape(cfg.num_layers, B, total, D),
+    )
+
+    assert phi3._fused_layer_eligible(qparams, cfg)
+    logits_w, cache_w = phi3._decode_forward_fused(
+        qparams, cfg, e, pos, flat, T, valid
+    )
+
+    monkeypatch.setattr(flags, "FUSED_DECODE_LAYER", False)
+    assert not phi3._fused_layer_eligible(qparams, cfg)
+    logits_s, cache_s = phi3._decode_forward_fused(
+        qparams, cfg, e, pos, flat, T, valid
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(logits_w, np.float32), np.asarray(logits_s, np.float32),
+        rtol=5e-2, atol=5e-2,
+    )
+    assert int(jnp.argmax(logits_w[0, 0])) == int(jnp.argmax(logits_s[0, 0]))
+    np.testing.assert_allclose(
+        np.asarray(cache_w.k[:, 0, T], np.float32),
+        np.asarray(cache_s.k[:, 0, T], np.float32),
+        rtol=3e-2, atol=3e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(cache_w.v[:, 0, T], np.float32),
+        np.asarray(cache_s.v[:, 0, T], np.float32),
+        rtol=3e-2, atol=3e-2,
+    )

@@ -56,9 +56,16 @@ def main():
 
     results = {}
     tokens = {}
-    for fused in (False, True):
-        flags.FUSED_DECODE_ATTN = fused
-        name = "fused" if fused else "unfused"
+    # three-way: unfused XLA chain / split (attn program + MLP program) /
+    # whole-layer (one program per layer)
+    configs = [
+        ("unfused", False, False),
+        ("split", True, False),
+        ("layer", True, True),
+    ]
+    for name, attn_on, layer_on in configs:
+        flags.FUSED_DECODE_ATTN = attn_on
+        flags.FUSED_DECODE_LAYER = layer_on
         per_len = {}
         for n in lens:
             # params MUST be an argument: closing over them bakes gigabytes
@@ -94,13 +101,15 @@ def main():
         results[name] = slope
         print(f"{name}: {slope:.3f} ms/token (slope {lo}->{hi})", flush=True)
 
-    same = np.array_equal(tokens["fused"], tokens["unfused"])
-    n_diff = int((tokens["fused"] != tokens["unfused"]).sum())
+    for name in ("split", "layer"):
+        n_diff = int((tokens[name] != tokens["unfused"]).sum())
+        d = "EXACT" if n_diff == 0 else f"{n_diff} tokens differ"
+        print(f"token parity {name} vs unfused: {d}", flush=True)
     print(
-        f"token parity: {'EXACT' if same else f'{n_diff} tokens differ'}\n"
-        f"unfused {results['unfused']:.3f} ms/tok vs fused "
-        f"{results['fused']:.3f} ms/tok "
-        f"({results['unfused']/max(results['fused'],1e-9):.2f}x)", flush=True,
+        " | ".join(
+            f"{name} {results[name]:.3f} ms/tok" for name, _, _ in configs
+        ),
+        flush=True,
     )
 
 
