@@ -61,3 +61,11 @@ FUSED_DECODE_LAYER: bool = _on("DYNAM3D_FUSED_LAYER")
 #: Store packed int4 weights block-major ([nb, Dp, nblk]) so each column
 #: block streams as one contiguous DMA instead of nblk-byte strided rows.
 INT4_BLOCK_MAJOR: bool = _on("DYNAM3D_INT4_BLOCK_MAJOR")
+
+#: W8A8 prefill: quantize activations per token (dynamic max-abs) and run
+#: prefill matmuls as int8 x int8 -> int32 on the MXU (2x the bf16 peak).
+#: Measured 1.9x the per-matmul rate at prefill shapes with ~0.9% median
+#: relative error on top of weight quantization (tools/bench_int8_prefill.py,
+#: docs/BENCH_NOTES.md round 3).  Opt-in: adds activation-quant error to the
+#: teacher-forcing/eval logits.
+W8A8_PREFILL: bool = _on("DYNAM3D_W8A8_PREFILL")

@@ -233,11 +233,18 @@ def _decode_attn_kernel(
         alpha = jnp.exp(m - m_new)                        # [1, H]
         p = jnp.exp(logits - m_new)                       # [_ROWS, H]
         l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
-        p_lanes = jnp.dot(
-            p.astype(jnp.bfloat16), segt, preferred_element_type=jnp.float32
-        )                                                 # [_ROWS, D]
+        # V reduction on the MXU: C[h, l] = sum_t p[t,h] * vb[t,l] is one
+        # row-contracting dot; each lane then keeps its own head's row via
+        # the segt mask (a [H, D] elementwise + H-sublane reduce) — this
+        # replaces the [_ROWS, D] broadcast-multiply + _ROWS-sublane
+        # reduction the p@segt formulation needed on the VPU.
+        C = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), vb,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                 # [H, D]
         contrib = jnp.sum(
-            p_lanes * vb.astype(jnp.float32), axis=0, keepdims=True
+            C * segt.astype(jnp.float32), axis=0, keepdims=True
         )
         alpha_lanes = jnp.dot(
             alpha.astype(jnp.bfloat16), segt,
@@ -836,4 +843,6 @@ def decode_layer(
         seg.T,
     )
     x_out = jnp.concatenate([out[0], out[1]], axis=-1)[0:1, :D]
-    return x_out.reshape(1, 1, D), k_new, v_new
+    # bf16 between layers — the same residual-stream dtype the split path
+    # (decode_attn_layer + int4_mlp_block) carries
+    return x_out.reshape(1, 1, D).astype(jnp.bfloat16), k_new, v_new

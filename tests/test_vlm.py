@@ -273,3 +273,30 @@ def test_decode_forward_matches_forward():
     np.testing.assert_allclose(
         np.asarray(c_new.k), np.asarray(c_ref.k), atol=2e-5
     )
+
+
+def test_w8a8_prefill_logits_close(params, monkeypatch):
+    """W8A8 prefill (dynamic per-token activation quant + int8 MXU dots,
+    flags.W8A8_PREFILL) tracks the weight-only int8 prefill logits within
+    the activation-quant budget, at prefill row counts (> 16)."""
+    from dynam3d_tpu import flags
+
+    B, T = 2, 24  # B*T > 16: the prefill regime the flag gates on
+    rng = np.random.default_rng(9)
+    ids = jnp.asarray(rng.integers(0, 300, size=(B, T)))
+    valid = jnp.ones((B, T), bool)
+    emb = phi3.embed(params, ids)
+    cache = phi3.init_cache(TINY, B, T, dtype=emb.dtype)
+    pos = jnp.tile(jnp.arange(T), (B, 1))
+    mask = phi3.prefill_mask(valid, T)
+    p8 = phi3.quantize_phi3(params, bits=8)
+    l_w8, _ = phi3.forward(p8, TINY, emb, pos, cache, 0, mask)
+    monkeypatch.setattr(flags, "W8A8_PREFILL", True)
+    l_a8, _ = phi3.forward(p8, TINY, emb, pos, cache, 0, mask)
+    scale = float(jnp.abs(l_w8).max())
+    err = float(jnp.abs(l_a8 - l_w8).max())
+    # activation quant adds ~1% relative at real dims; tiny dims are noisier
+    assert err < 0.15 * scale, (err, scale)
+    # and the argmax tokens should essentially all agree
+    agree = (jnp.argmax(l_a8, -1) == jnp.argmax(l_w8, -1)).mean()
+    assert float(agree) > 0.9, float(agree)
