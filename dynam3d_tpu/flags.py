@@ -58,6 +58,18 @@ FUSED_DECODE_ATTN: bool = _on("DYNAM3D_FUSED_ATTN", "1")
 #: FUSED_DECODE_ATTN is also on (it gates the fused decode dispatch).
 FUSED_DECODE_LAYER: bool = _on("DYNAM3D_FUSED_LAYER")
 
+#: Manual-ring whole-layer decode kernel (decode_layer_ring): qkv/o/gate_up
+#: column blocks share one deep DMA ring in consumption order, so the HBM
+#: bus keeps streaming through the attention step (the one-block-lookahead
+#: limitation that made the grid-pipelined decode_layer neutral).  Takes
+#: precedence over FUSED_DECODE_LAYER when both are set and eligible.
+#: On-chip: 3.53 ms/token vs 3.95 split / 4.19 unfused (8->128 chains,
+#: docs/BENCH_NOTES.md round 3) — default ON.
+FUSED_DECODE_RING: bool = _on("DYNAM3D_FUSED_RING", "1")
+
+#: Ring depth (outstanding [D, nblk] weight-block DMAs) for the ring kernel.
+FUSED_RING_SLOTS: int = int(os.environ.get("DYNAM3D_FUSED_RING_SLOTS", "4"))
+
 #: Store packed int4 weights block-major ([nb, Dp, nblk]) so each column
 #: block streams as one contiguous DMA instead of nblk-byte strided rows.
 INT4_BLOCK_MAJOR: bool = _on("DYNAM3D_INT4_BLOCK_MAJOR")

@@ -279,11 +279,10 @@ def _fused_decode_eligible(params: Params, cfg: Phi3Config, batch: int) -> bool:
 
 
 def _fused_layer_eligible(params: Params, cfg: Phi3Config) -> bool:
-    """Extra eligibility for the whole-layer kernel: the MLP weights must be
-    packed int4 with the same block sizes as the attention ones."""
-    from dynam3d_tpu import flags
-
-    if not flags.FUSED_DECODE_LAYER:
+    """Extra eligibility for the whole-layer kernels (grid-pipelined or
+    manual-ring): the MLP weights must be packed int4 with the same block
+    sizes as the attention ones."""
+    if not (flags.FUSED_DECODE_LAYER or flags.FUSED_DECODE_RING):
         return False
     p0 = params["layers"][0]
     qkv = p0["qkv"]["q4"]
@@ -316,7 +315,9 @@ def _decode_forward_fused(
     continuous HBM stream over qkv|KV|o|gate_up|down).  Fallback split:
     the attention program (``decode_attn_layer``) + the fused int4 MLP
     kernel as a second program."""
-    from dynam3d_tpu.ops.pallas_decode import decode_attn_layer, decode_layer
+    from dynam3d_tpu.ops.pallas_decode import (
+        decode_attn_layer, decode_layer, decode_layer_ring,
+    )
 
     D = cfg.hidden_size
     half = cfg.head_dim // 2
@@ -329,11 +330,27 @@ def _decode_forward_fused(
     from dynam3d_tpu.ops.pallas_int4 import int4_mlp_block
 
     whole_layer = _fused_layer_eligible(params, cfg)
+    # the ring kernel primes its down-projection ring from gate_up blocks
+    # n_gu-3 / n_gu-2, so it needs at least 3 gate_up column blocks
+    use_ring = (
+        whole_layer
+        and flags.FUSED_DECODE_RING
+        and params["layers"][0]["gate_up"]["q4"].n2
+        >= 3 * params["layers"][0]["gate_up"]["q4"].nblk
+    )
     x = embeds
     ck, cv = cache.k, cache.v
     for li in range(cfg.num_layers):
         p = params["layers"][li]
-        if whole_layer:
+        if use_ring:
+            x, k_new, v_new = decode_layer_ring(
+                x, p["input_ln"], p["qkv"]["q4"], p["o"]["q4"],
+                p["post_ln"], p["gate_up"]["q4"], p["down"]["q4"],
+                ck, cv, li, write_at, mask_row, cos, sin,
+                eps=cfg.rms_eps, heads=cfg.num_heads, hd=cfg.head_dim,
+                ns=flags.FUSED_RING_SLOTS,
+            )
+        elif whole_layer:
             x, k_new, v_new = decode_layer(
                 x, p["input_ln"], p["qkv"]["q4"], p["o"]["q4"],
                 p["post_ln"], p["gate_up"]["q4"], p["down"]["q4"],

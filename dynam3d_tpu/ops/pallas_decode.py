@@ -846,3 +846,441 @@ def decode_layer(
     # bf16 between layers — the same residual-stream dtype the split path
     # (decode_attn_layer + int4_mlp_block) carries
     return x_out.reshape(1, 1, D).astype(jnp.bfloat16), k_new, v_new
+
+# ---------------------------------------------------------------------------
+# Manual-ring whole-layer kernel: deep DMA lookahead across phase boundaries
+# ---------------------------------------------------------------------------
+
+def _decode_ring_kernel(
+    li_ref, pos_ref,
+    x_ref, ln1_ref, ln2_ref,
+    qkv_q4, qkv_sl, qkv_sh,      # q4 in HBM (ANY); scales full VMEM
+    o_q4, o_sl, o_sh,
+    gu_q4, gu_sl, gu_sh,
+    dn_q4, dn_sl, dn_sh,
+    kc_ref, vc_ref,
+    mask_ref, cosv_ref, slo_ref, shi_ref, seg_ref, segt_ref,
+    out_ref, knew_ref, vnew_ref,
+    hbuf, ybuf, cbuf, o1buf, h2buf, ydbuf,
+    wbuf, wsem,                  # [NS, D, nblk] int8 ring + sems (qkv|o|gu)
+    dbuf, dsem,                  # [2, IP, nblk] int8 ring + sems (down)
+    kbuf, vbuf, ksem, vsem,
+    *,
+    eps: float, heads: int, hd: int, dblk: int, nblk: int, tmax: int,
+    n_qkv: int, n_o: int, n_gu: int, n_dn: int, ns: int, blocked: bool,
+):
+    """One program per decode layer with a hand-scheduled DMA pipeline.
+
+    The grid-pipelined :func:`decode_layer` measured neutral because the
+    pipeline's one-block lookahead leaves the HBM bus idle through the
+    ~25 us attention step.  Here the qkv, o-proj and gate_up column blocks
+    (all ``[D, nblk]``) ride ONE ``ns``-slot ring in consumption order —
+    issue runs ``ns`` blocks ahead of consume, so o/gate_up blocks queue
+    up DURING the attention math — and the KV block DMAs are issued at
+    fixed points near the tail of the qkv stream so the cache lands just
+    as attention starts.  ``down``'s taller ``[IP, nblk]`` blocks use
+    their own 2-slot ring, prefetched during the gate_up stream."""
+    D = x_ref.shape[1]
+    half = hd // 2
+    li = li_ref[0]
+    pos = pos_ref[0]
+    n_comb = n_qkv + n_o + n_gu     # combined D-row block sequence
+
+    def d_copy(ii, slot):
+        """Async-copy descriptor for combined block ``ii`` into ``slot``."""
+        jo = ii - n_qkv
+        jg = ii - n_qkv - n_o
+        if blocked:
+            srcs = [qkv_q4.at[jnp.clip(ii, 0, n_qkv - 1)],
+                    o_q4.at[jnp.clip(jo, 0, n_o - 1)],
+                    gu_q4.at[jnp.clip(jg, 0, n_gu - 1)]]
+        else:
+            srcs = [
+                qkv_q4.at[:, pl.ds(jnp.clip(ii, 0, n_qkv - 1) * nblk, nblk)],
+                o_q4.at[:, pl.ds(jnp.clip(jo, 0, n_o - 1) * nblk, nblk)],
+                gu_q4.at[:, pl.ds(jnp.clip(jg, 0, n_gu - 1) * nblk, nblk)],
+            ]
+        return srcs
+
+    def d_start(ii):
+        @pl.when(ii < n_comb)
+        def _():
+            slot = jax.lax.rem(ii, ns)
+            srcs = d_copy(ii, slot)
+
+            @pl.when(ii < n_qkv)
+            def _():
+                pltpu.make_async_copy(srcs[0], wbuf.at[slot],
+                                      wsem.at[slot]).start()
+
+            @pl.when((ii >= n_qkv) & (ii < n_qkv + n_o))
+            def _():
+                pltpu.make_async_copy(srcs[1], wbuf.at[slot],
+                                      wsem.at[slot]).start()
+
+            @pl.when(ii >= n_qkv + n_o)
+            def _():
+                pltpu.make_async_copy(srcs[2], wbuf.at[slot],
+                                      wsem.at[slot]).start()
+
+    def d_wait(ci):
+        slot = jax.lax.rem(ci, ns)
+        srcs = d_copy(ci, slot)
+
+        @pl.when(ci < n_qkv)
+        def _():
+            pltpu.make_async_copy(srcs[0], wbuf.at[slot],
+                                  wsem.at[slot]).wait()
+
+        @pl.when((ci >= n_qkv) & (ci < n_qkv + n_o))
+        def _():
+            pltpu.make_async_copy(srcs[1], wbuf.at[slot],
+                                  wsem.at[slot]).wait()
+
+        @pl.when(ci >= n_qkv + n_o)
+        def _():
+            pltpu.make_async_copy(srcs[2], wbuf.at[slot],
+                                  wsem.at[slot]).wait()
+
+    def kv_dma(slot, tb):
+        k = pltpu.make_async_copy(
+            kc_ref.at[li, 0, pl.ds(tb * _ROWS, _ROWS), :],
+            kbuf.at[slot], ksem.at[slot],
+        )
+        v = pltpu.make_async_copy(
+            vc_ref.at[li, 0, pl.ds(tb * _ROWS, _ROWS), :],
+            vbuf.at[slot], vsem.at[slot],
+        )
+        return k, v
+
+    def dn_dma(slot, jd):
+        if blocked:
+            src = dn_q4.at[jnp.clip(jd, 0, n_dn - 1)]
+        else:
+            src = dn_q4.at[:, pl.ds(jnp.clip(jd, 0, n_dn - 1) * nblk, nblk)]
+        return pltpu.make_async_copy(src, dbuf.at[jax.lax.rem(jd, 2)],
+                                     dsem.at[jax.lax.rem(jd, 2)])
+
+    nlive = jax.lax.div(pos + _ROWS - 1, _ROWS)
+    nb_kv = tmax // _ROWS
+
+    # ---- prime the ring ----
+    for k in range(min(ns, n_comb)):
+        d_start(k)
+
+    # ---- rmsnorm + qkv stream ----
+    xf = x_ref[:].astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    hbuf[:] = (xf * jax.lax.rsqrt(var + eps) * ln1_ref[:]).astype(
+        jnp.bfloat16
+    )
+    n2_qkv = n_qkv * nblk
+
+    def qkv_body(ci, _):
+        d_wait(ci)
+        # KV lands just as attention starts: k0/v0 two blocks from the end
+        # of the qkv stream, k1/v1 one block from the end
+        @pl.when((ci == n_qkv - 2) & (nlive > 0))
+        def _():
+            k, v = kv_dma(0, 0)
+            k.start(); v.start()
+        if nb_kv > 1:
+            @pl.when((ci == n_qkv - 1) & (nlive > 1))
+            def _():
+                k, v = kv_dma(1, 1)
+                k.start(); v.start()
+        acc_lo, acc_hi = nibble_matvec_acc(
+            hbuf, wbuf.at[jax.lax.rem(ci, ns)], qkv_sl, qkv_sh,
+            dblk=dblk, g=qkv_sl.shape[0], col_start=ci * nblk,
+        )
+        ybuf[:, pl.ds(ci * nblk, nblk)] = acc_lo
+        ybuf[:, pl.ds(n2_qkv + ci * nblk, nblk)] = acc_hi
+        d_start(ci + ns)
+        return 0
+
+    jax.lax.fori_loop(0, n_qkv, qkv_body, 0, unroll=False)
+
+    # ---- rope + attention (bus keeps streaming o/gu blocks meanwhile) ----
+    cosv, slo, shi = cosv_ref[:], slo_ref[:], shi_ref[:]
+    q = _rope_flat(ybuf[0:1, 0:D], cosv, slo, shi, half)
+    k_new = _rope_flat(ybuf[0:1, D : 2 * D], cosv, slo, shi, half)
+    v_new = ybuf[0:1, 2 * D : 3 * D].astype(jnp.bfloat16)
+    knew_ref[:] = k_new
+    vnew_ref[:] = v_new
+
+    scale = 1.0 / math.sqrt(hd)
+    seg = seg_ref[:]
+    segt = segt_ref[:]
+
+    def attn_block(tb, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(tb, 2)
+
+        # blocks 0 and 1 were issued from the qkv stream's tail; the
+        # in-loop refill only covers block 2 onward — re-starting an
+        # already-started slot double-signals its DMA semaphore (a
+        # runtime-INTERNAL crash on hardware)
+        @pl.when((tb + 1 < nlive) & (tb + 1 >= 2))
+        def _():
+            k, v = kv_dma(jax.lax.rem(tb + 1, 2), tb + 1)
+            k.start(); v.start()
+
+        k, v = kv_dma(slot, tb)
+        k.wait(); v.wait()
+        kb = kbuf[slot]
+        vb = vbuf[slot]
+        prod = (kb * q).astype(jnp.bfloat16)
+        logits = (
+            jnp.dot(prod, seg, preferred_element_type=jnp.float32) * scale
+        )
+        mb = mask_ref[pl.ds(tb * _ROWS, _ROWS), :]
+        logits = logits + (mb - 1.0) * (-_NEG)
+        m_blk = jnp.max(logits, axis=0, keepdims=True)
+        m_new = jnp.maximum(m, m_blk)
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(logits - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
+        C = jax.lax.dot_general(
+            p.astype(jnp.bfloat16), vb,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        contrib = jnp.sum(
+            C * segt.astype(jnp.float32), axis=0, keepdims=True
+        )
+        alpha_lanes = jnp.dot(
+            alpha.astype(jnp.bfloat16), segt,
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc * alpha_lanes + contrib
+
+    m0 = jnp.full((1, heads), _NEG, jnp.float32)
+    l0 = jnp.zeros((1, heads), jnp.float32)
+    acc0 = jnp.zeros((1, D), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, nlive, attn_block, (m0, l0, acc0))
+
+    cur = (
+        jnp.dot(
+            (k_new * q).astype(jnp.bfloat16), seg,
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )
+    m_new = jnp.maximum(m, cur)
+    alpha = jnp.exp(m - m_new)
+    p_cur = jnp.exp(cur - m_new)
+    l = l * alpha + p_cur
+    alpha_lanes = jnp.dot(
+        alpha.astype(jnp.bfloat16), segt, preferred_element_type=jnp.float32
+    )
+    p_lanes = jnp.dot(
+        p_cur.astype(jnp.bfloat16), segt, preferred_element_type=jnp.float32
+    )
+    acc = acc * alpha_lanes + p_lanes * v_new.astype(jnp.float32)
+
+    l_lanes = jnp.dot(
+        l.astype(jnp.float32), segt.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    ctx = (acc / jnp.maximum(l_lanes, 1e-30)).astype(jnp.bfloat16)
+    cbuf[:] = jnp.zeros((cbuf.shape[0], D), jnp.bfloat16)
+    cbuf[0:1, :] = ctx
+
+    # ---- o stream ----
+    n2_o = n_o * nblk
+
+    def o_body(jo, _):
+        ci = n_qkv + jo
+        d_wait(ci)
+        acc_lo, acc_hi = nibble_matvec_acc(
+            cbuf, wbuf.at[jax.lax.rem(ci, ns)], o_sl, o_sh,
+            dblk=dblk, g=o_sl.shape[0], col_start=jo * nblk,
+        )
+        ybuf[:, pl.ds(jo * nblk, nblk)] = acc_lo
+        ybuf[:, pl.ds(n2_o + jo * nblk, nblk)] = acc_hi
+        d_start(ci + ns)
+        return 0
+
+    jax.lax.fori_loop(0, n_o, o_body, 0, unroll=False)
+
+    # ---- residual + norm2 ----
+    o1 = x_ref[:].astype(jnp.float32) + ybuf[:, 0:D]
+    o1buf[:] = o1
+    var2 = jnp.mean(o1 * o1, axis=-1, keepdims=True)
+    hbuf[:] = (o1 * jax.lax.rsqrt(var2 + eps) * ln2_ref[:]).astype(
+        jnp.bfloat16
+    )
+
+    # ---- gate_up stream -> swiglu; down blocks prefetched near the tail ----
+    def gu_body(jg, _):
+        ci = n_qkv + n_o + jg
+        d_wait(ci)
+        # down block 0/1 issued so they land as the gate_up stream ends
+        @pl.when(jg == n_gu - 3)
+        def _():
+            dn_dma(0, 0).start()
+        @pl.when(jg == n_gu - 2)
+        def _():
+            dn_dma(1, 1).start()
+        gate, up = nibble_matvec_acc(
+            hbuf, wbuf.at[jax.lax.rem(ci, ns)], gu_sl, gu_sh,
+            dblk=dblk, g=gu_sl.shape[0], col_start=jg * nblk,
+        )
+        h = gate * jax.nn.sigmoid(gate) * up
+        h2buf[:, pl.ds(jg * nblk, nblk)] = h.astype(jnp.bfloat16)
+        d_start(ci + ns)
+        return 0
+
+    jax.lax.fori_loop(0, n_gu, gu_body, 0, unroll=False)
+
+    # ---- down stream -> output with residual folded ----
+    d_half = D // 2
+
+    def dn_body(jd, _):
+        @pl.when(jd + 2 < n_dn)
+        def _():
+            dn_dma(jd + 2, jd + 2).start()
+        dn_dma(jd, jd).wait()
+        lo, hi = nibble_matvec_acc(
+            h2buf, dbuf.at[jax.lax.rem(jd, 2)], dn_sl, dn_sh,
+            dblk=dblk, g=dn_sl.shape[0], col_start=jd * nblk,
+        )
+        ydbuf[:, pl.ds(jd * nblk, nblk)] = (
+            lo + o1buf[:, pl.ds(jd * nblk, nblk)]
+        )
+        ydbuf[:, pl.ds(d_half + jd * nblk, nblk)] = (
+            hi + o1buf[:, pl.ds(d_half + jd * nblk, nblk)]
+        )
+        return 0
+
+    jax.lax.fori_loop(0, n_dn, dn_body, 0, unroll=False)
+    out_ref[:] = ydbuf[0:1, :].astype(jnp.bfloat16)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps", "heads", "hd", "ns", "interpret")
+)
+def decode_layer_ring(
+    x: jnp.ndarray,          # [1, 1, D] bf16 (B=T=1)
+    ln1_w: jnp.ndarray,
+    qkv: Int4Weight,
+    o: Int4Weight,
+    ln2_w: jnp.ndarray,
+    gate_up: Int4Weight,
+    down: Int4Weight,
+    cache_k: jnp.ndarray,    # [L, 1, Tmax, D] bf16
+    cache_v: jnp.ndarray,
+    li,
+    pos,
+    mask: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    *,
+    eps: float,
+    heads: int,
+    hd: int,
+    ns: int = 4,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Whole decode layer with the manual ``ns``-slot DMA ring
+    (:func:`_decode_ring_kernel`); same contract as :func:`decode_layer`."""
+    D = x.shape[-1]
+    tmax = cache_k.shape[2]
+    assert tmax % _ROWS == 0
+    assert qkv.n == 3 * D and qkv.d == D and o.d == D and o.n == D
+    assert gate_up.d == D and down.n == D
+    assert gate_up.n == 2 * gate_up.n2 and down.n == 2 * down.n2
+    assert qkv.blocked == o.blocked == gate_up.blocked == down.blocked
+    nblk = min(qkv.nblk, o.nblk, gate_up.nblk, down.nblk)
+    dblk = qkv.dblk
+    assert o.dblk == dblk == gate_up.dblk == down.dblk
+    ip = down.dp
+    n_qkv, n_o = qkv.n2 // nblk, o.n2 // nblk
+    n_gu, n_dn = gate_up.n2 // nblk, down.n2 // nblk
+    assert gate_up.n2 == ip
+    # the down ring is primed at gate_up blocks n_gu-3 / n_gu-2
+    assert n_gu >= 3, f"ring kernel needs >= 3 gate_up blocks, got {n_gu}"
+
+    xp = jnp.pad(x.reshape(1, D).astype(jnp.bfloat16), ((0, _BP - 1), (0, 0)))
+    seg = np.zeros((D, heads), np.float32)
+    for hh in range(heads):
+        seg[hh * hd : (hh + 1) * hd, hh] = 1.0
+    seg = jnp.asarray(seg, jnp.bfloat16)
+
+    half = hd // 2
+    i_lane = np.arange(D) % hd
+    idx = jnp.asarray(i_lane % half)
+    lo_mask = jnp.asarray(i_lane < half)
+    cosv = cos.astype(jnp.float32)[idx].reshape(1, D)
+    sin_l = sin.astype(jnp.float32)[idx]
+    slo = jnp.where(lo_mask, -sin_l, 0.0).reshape(1, D)
+    shi = jnp.where(lo_mask, 0.0, sin_l).reshape(1, D)
+
+    kernel = functools.partial(
+        _decode_ring_kernel,
+        eps=eps, heads=heads, hd=hd, dblk=dblk, nblk=nblk, tmax=tmax,
+        n_qkv=n_qkv, n_o=n_o, n_gu=n_gu, n_dn=n_dn, ns=ns,
+        blocked=qkv.blocked,
+    )
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[
+            vm,                       # x
+            vm, vm,                   # ln1, ln2
+            hbm, vm, vm,              # qkv
+            hbm, vm, vm,              # o
+            hbm, vm, vm,              # gate_up
+            hbm, vm, vm,              # down
+            hbm, hbm,                 # caches
+            vm, vm, vm, vm, vm, vm,   # mask, rope x3, seg, segt
+        ],
+        out_specs=[vm, vm, vm],
+        scratch_shapes=[
+            pltpu.VMEM((_BP, D), jnp.bfloat16),           # hbuf
+            pltpu.VMEM((_BP, 3 * D), jnp.float32),        # ybuf
+            pltpu.VMEM((_BP, D), jnp.bfloat16),           # cbuf
+            pltpu.VMEM((_BP, D), jnp.float32),            # o1buf
+            pltpu.VMEM((_BP, ip), jnp.bfloat16),          # h2buf
+            pltpu.VMEM((_BP, D), jnp.float32),            # ydbuf
+            pltpu.VMEM((ns, D, nblk), jnp.int8),          # D-row ring
+            pltpu.SemaphoreType.DMA((ns,)),
+            pltpu.VMEM((2, ip, nblk), jnp.int8),          # down ring
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, _ROWS, D), jnp.bfloat16),
+            pltpu.VMEM((2, _ROWS, D), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out, k_new, v_new = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, D), jnp.bfloat16),
+            jax.ShapeDtypeStruct((1, D), jnp.bfloat16),
+            jax.ShapeDtypeStruct((1, D), jnp.bfloat16),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(
+        jnp.asarray(li, jnp.int32).reshape(1),
+        jnp.asarray(pos, jnp.int32).reshape(1),
+        xp,
+        ln1_w.reshape(1, D).astype(jnp.float32),
+        ln2_w.reshape(1, D).astype(jnp.float32),
+        qkv.q4, qkv.s_lo, qkv.s_hi,
+        o.q4, o.s_lo, o.s_hi,
+        gate_up.q4, gate_up.s_lo, gate_up.s_hi,
+        down.q4, down.s_lo, down.s_hi,
+        cache_k, cache_v,
+        mask.reshape(tmax, 1).astype(jnp.float32),
+        cosv, slo, shi,
+        seg,
+        seg.T,
+    )
+    return out.reshape(1, 1, D), k_new, v_new

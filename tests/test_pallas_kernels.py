@@ -509,9 +509,11 @@ def test_fused_decode_layer_matches_split(monkeypatch):
             pallas_decode.decode_layer.__wrapped__, interpret=True
         ),
     )
-    # the whole-layer kernel is opt-in (measured neutral on hardware);
-    # force it on for the parity check
+    # the grid-pipelined whole-layer kernel is opt-in (measured neutral on
+    # hardware); force it on for the parity check, and hold the
+    # (default-on) ring kernel back until its own block below
     monkeypatch.setattr(flags, "FUSED_DECODE_LAYER", True)
+    monkeypatch.setattr(flags, "FUSED_DECODE_RING", False)
 
     rng = np.random.default_rng(5)
     B, T, D = 1, 40, cfg.hidden_size
@@ -541,10 +543,34 @@ def test_fused_decode_layer_matches_split(monkeypatch):
         qparams, cfg, e, pos, flat, T, valid
     )
 
+    # manual-ring variant: same contract, deep-lookahead DMA schedule
+    monkeypatch.setattr(
+        pallas_decode, "decode_layer_ring",
+        functools.partial(
+            pallas_decode.decode_layer_ring.__wrapped__, interpret=True
+        ),
+    )
+    monkeypatch.setattr(flags, "FUSED_DECODE_RING", True)
+    logits_r, cache_r = phi3._decode_forward_fused(
+        qparams, cfg, e, pos, flat, T, valid
+    )
+    monkeypatch.setattr(flags, "FUSED_DECODE_RING", False)
+
     monkeypatch.setattr(flags, "FUSED_DECODE_LAYER", False)
     assert not phi3._fused_layer_eligible(qparams, cfg)
     logits_s, cache_s = phi3._decode_forward_fused(
         qparams, cfg, e, pos, flat, T, valid
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(logits_r, np.float32), np.asarray(logits_s, np.float32),
+        rtol=5e-2, atol=5e-2,
+    )
+    assert int(jnp.argmax(logits_r[0, 0])) == int(jnp.argmax(logits_s[0, 0]))
+    np.testing.assert_allclose(
+        np.asarray(cache_r.k[:, 0, T], np.float32),
+        np.asarray(cache_s.k[:, 0, T], np.float32),
+        rtol=3e-2, atol=3e-2,
     )
 
     np.testing.assert_allclose(

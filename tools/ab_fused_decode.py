@@ -59,13 +59,19 @@ def main():
     # three-way: unfused XLA chain / split (attn program + MLP program) /
     # whole-layer (one program per layer)
     configs = [
-        ("unfused", False, False),
-        ("split", True, False),
-        ("layer", True, True),
+        ("unfused", False, False, False),
+        ("split", True, False, False),
+        ("layer", True, True, False),
+        ("ring", True, False, True),
     ]
-    for name, attn_on, layer_on in configs:
+    only = os.environ.get("DYNAM3D_AB_ONLY")
+    if only:
+        keep = set(only.split(",")) | {"unfused"}
+        configs = [c for c in configs if c[0] in keep]
+    for name, attn_on, layer_on, ring_on in configs:
         flags.FUSED_DECODE_ATTN = attn_on
         flags.FUSED_DECODE_LAYER = layer_on
+        flags.FUSED_DECODE_RING = ring_on
         per_len = {}
         for n in lens:
             # params MUST be an argument: closing over them bakes gigabytes
@@ -101,14 +107,14 @@ def main():
         results[name] = slope
         print(f"{name}: {slope:.3f} ms/token (slope {lo}->{hi})", flush=True)
 
-    for name in ("split", "layer"):
+    for name in tokens:
+        if name == "unfused":
+            continue
         n_diff = int((tokens[name] != tokens["unfused"]).sum())
         d = "EXACT" if n_diff == 0 else f"{n_diff} tokens differ"
         print(f"token parity {name} vs unfused: {d}", flush=True)
     print(
-        " | ".join(
-            f"{name} {results[name]:.3f} ms/tok" for name, _, _ in configs
-        ),
+        " | ".join(f"{name} {results[name]:.3f} ms/tok" for name in results),
         flush=True,
     )
 
