@@ -251,13 +251,14 @@ def prefill_mask(attn_valid: jnp.ndarray, cache_len: int) -> jnp.ndarray:
 
 
 def _fused_decode_eligible(params: Params, cfg: Phi3Config, batch: int) -> bool:
-    """The fused decode-attention kernel applies to B=1 serving with fused
-    int4 qkv/o at unpadded dims and MHA (ops/pallas_decode.py docstring)."""
-    from dynam3d_tpu import flags
-
+    """The fused decode kernels apply to low-batch serving with fused int4
+    qkv/o at unpadded dims and MHA (ops/pallas_decode.py docstring): B = 1
+    on any fused path, B <= 8 on the ring kernel (rows ride the shared
+    weight streams; per-row attention)."""
+    max_b = 8 if flags.FUSED_DECODE_RING else 1
     if not (
         flags.FUSED_DECODE_ATTN
-        and batch == 1
+        and 1 <= batch <= max_b
         and jax.default_backend() == "tpu"
         and cfg.num_heads == cfg.num_kv_heads
         and cfg.num_heads * cfg.head_dim == cfg.hidden_size
@@ -266,7 +267,7 @@ def _fused_decode_eligible(params: Params, cfg: Phi3Config, batch: int) -> bool:
     p0 = params["layers"][0]
     qkv, o = p0.get("qkv"), p0.get("o")
     D = cfg.hidden_size
-    return (
+    base = (
         isinstance(qkv, dict) and "q4" in qkv
         and isinstance(o, dict) and "q4" in o
         and qkv["q4"].d == D and qkv["q4"].n == 3 * D
@@ -276,6 +277,18 @@ def _fused_decode_eligible(params: Params, cfg: Phi3Config, batch: int) -> bool:
         and qkv["q4"].dblk == o["q4"].dblk
         and qkv["q4"].blocked == o["q4"].blocked
     )
+    if base and batch > 1:
+        # B > 1 runs only on the ring kernel, which additionally needs the
+        # MLP weights packed compatibly and >= 3 gate_up column blocks
+        return _ring_eligible(params, cfg)
+    return base
+
+
+def _ring_eligible(params: Params, cfg: Phi3Config) -> bool:
+    if not (flags.FUSED_DECODE_RING and _fused_layer_eligible(params, cfg)):
+        return False
+    gu = params["layers"][0]["gate_up"]["q4"]
+    return gu.n2 >= 3 * gu.nblk
 
 
 def _fused_layer_eligible(params: Params, cfg: Phi3Config) -> bool:
@@ -303,41 +316,37 @@ def _fused_layer_eligible(params: Params, cfg: Phi3Config) -> bool:
 def _decode_forward_fused(
     params: Params,
     cfg: Phi3Config,
-    embeds: jnp.ndarray,          # [1,1,D]
-    positions: jnp.ndarray,       # [1,1] rope position
-    cache: KVCache,               # flat [L,1,Tmax,D] layout
+    embeds: jnp.ndarray,          # [B,1,D] (B > 1 only on the ring path)
+    positions: jnp.ndarray,       # [B,1] rope positions
+    cache: KVCache,               # flat [L,B,Tmax,D] layout
     write_at,
-    valid: jnp.ndarray,           # [1,Tmax] attendable slots (incl. current)
+    valid: jnp.ndarray,           # [B,Tmax] attendable slots (incl. current)
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Decode step over the fused decode kernels (ops/pallas_decode.py).
 
-    Preferred: ONE whole-layer program per layer (``decode_layer`` — one
-    continuous HBM stream over qkv|KV|o|gate_up|down).  Fallback split:
-    the attention program (``decode_attn_layer``) + the fused int4 MLP
-    kernel as a second program."""
+    Preferred: ONE whole-layer program per layer (``decode_layer_ring`` —
+    one continuous HBM stream over qkv|KV|o|gate_up|down, B <= 8 batch
+    rows sharing the weight streams).  Fallback split: the attention
+    program (``decode_attn_layer``) + the fused int4 MLP kernel as a
+    second program (B = 1 only)."""
     from dynam3d_tpu.ops.pallas_decode import (
         decode_attn_layer, decode_layer, decode_layer_ring,
     )
 
+    B = embeds.shape[0]
     D = cfg.hidden_size
     half = cfg.head_dim // 2
     freqs = cfg.rope_theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
-    ang = positions[0, 0].astype(jnp.float32) * freqs
+    ang = positions[:, 0, None].astype(jnp.float32) * freqs   # [B, half]
     cos, sin = jnp.cos(ang), jnp.sin(ang)
     # the kernel folds the current token in from registers; exclude its slot
-    mask_row = valid[0].at[write_at].set(False)
+    mask_rows = valid.at[:, write_at].set(False)              # [B, Tmax]
 
     from dynam3d_tpu.ops.pallas_int4 import int4_mlp_block
 
     whole_layer = _fused_layer_eligible(params, cfg)
-    # the ring kernel primes its down-projection ring from gate_up blocks
-    # n_gu-3 / n_gu-2, so it needs at least 3 gate_up column blocks
-    use_ring = (
-        whole_layer
-        and flags.FUSED_DECODE_RING
-        and params["layers"][0]["gate_up"]["q4"].n2
-        >= 3 * params["layers"][0]["gate_up"]["q4"].nblk
-    )
+    use_ring = _ring_eligible(params, cfg)
+    assert B == 1 or use_ring, "B > 1 fused decode requires the ring kernel"
     x = embeds
     ck, cv = cache.k, cache.v
     for li in range(cfg.num_layers):
@@ -346,7 +355,7 @@ def _decode_forward_fused(
             x, k_new, v_new = decode_layer_ring(
                 x, p["input_ln"], p["qkv"]["q4"], p["o"]["q4"],
                 p["post_ln"], p["gate_up"]["q4"], p["down"]["q4"],
-                ck, cv, li, write_at, mask_row, cos, sin,
+                ck, cv, li, write_at, mask_rows, cos, sin,
                 eps=cfg.rms_eps, heads=cfg.num_heads, hd=cfg.head_dim,
                 ns=flags.FUSED_RING_SLOTS,
             )
@@ -354,20 +363,20 @@ def _decode_forward_fused(
             x, k_new, v_new = decode_layer(
                 x, p["input_ln"], p["qkv"]["q4"], p["o"]["q4"],
                 p["post_ln"], p["gate_up"]["q4"], p["down"]["q4"],
-                ck, cv, li, write_at, mask_row, cos, sin,
+                ck, cv, li, write_at, mask_rows[0], cos[0], sin[0],
                 eps=cfg.rms_eps, heads=cfg.num_heads, hd=cfg.head_dim,
             )
         else:
             x, k_new, v_new = decode_attn_layer(
                 x, p["input_ln"], p["qkv"]["q4"], p["o"]["q4"], ck, cv,
-                li, write_at, mask_row, cos, sin,
+                li, write_at, mask_rows[0], cos[0], sin[0],
                 eps=cfg.rms_eps, heads=cfg.num_heads, hd=cfg.head_dim,
             )
         ck = jax.lax.dynamic_update_slice(
-            ck, k_new.reshape(1, 1, 1, D), (li, 0, write_at, 0)
+            ck, k_new.reshape(1, B, 1, D), (li, 0, write_at, 0)
         )
         cv = jax.lax.dynamic_update_slice(
-            cv, v_new.reshape(1, 1, 1, D), (li, 0, write_at, 0)
+            cv, v_new.reshape(1, B, 1, D), (li, 0, write_at, 0)
         )
         if not whole_layer:
             # MLP half + its norm and residual as the second (and last)

@@ -868,6 +868,7 @@ def _decode_ring_kernel(
     *,
     eps: float, heads: int, hd: int, dblk: int, nblk: int, tmax: int,
     n_qkv: int, n_o: int, n_gu: int, n_dn: int, ns: int, blocked: bool,
+    rows: int,
 ):
     """One program per decode layer with a hand-scheduled DMA pipeline.
 
@@ -879,11 +880,18 @@ def _decode_ring_kernel(
     up DURING the attention math — and the KV block DMAs are issued at
     fixed points near the tail of the qkv stream so the cache lands just
     as attention starts.  ``down``'s taller ``[IP, nblk]`` blocks use
-    their own 2-slot ring, prefetched during the gate_up stream."""
+    their own 2-slot ring, prefetched during the gate_up stream.
+
+    ``rows`` (1..``_BP``) real batch rows ride the SAME weight streams for
+    free — the matvecs already process ``_BP`` sublane-padded rows.  Each
+    row attends over its own cache ``kc[li, b]`` with its own position /
+    mask column / rope vectors; the per-row attention sections run
+    sequentially, re-using the 2-slot KV buffers, while the weight ring
+    keeps the bus busy underneath (multi-episode serving;
+    the reference's 4-env batch, ss_trainer_Dynam3D.py:140-159)."""
     D = x_ref.shape[1]
     half = hd // 2
     li = li_ref[0]
-    pos = pos_ref[0]
     n_comb = n_qkv + n_o + n_gu     # combined D-row block sequence
 
     def d_copy(ii, slot):
@@ -942,13 +950,13 @@ def _decode_ring_kernel(
             pltpu.make_async_copy(srcs[2], wbuf.at[slot],
                                   wsem.at[slot]).wait()
 
-    def kv_dma(slot, tb):
+    def kv_dma(b, slot, tb):
         k = pltpu.make_async_copy(
-            kc_ref.at[li, 0, pl.ds(tb * _ROWS, _ROWS), :],
+            kc_ref.at[li, b, pl.ds(tb * _ROWS, _ROWS), :],
             kbuf.at[slot], ksem.at[slot],
         )
         v = pltpu.make_async_copy(
-            vc_ref.at[li, 0, pl.ds(tb * _ROWS, _ROWS), :],
+            vc_ref.at[li, b, pl.ds(tb * _ROWS, _ROWS), :],
             vbuf.at[slot], vsem.at[slot],
         )
         return k, v
@@ -961,7 +969,10 @@ def _decode_ring_kernel(
         return pltpu.make_async_copy(src, dbuf.at[jax.lax.rem(jd, 2)],
                                      dsem.at[jax.lax.rem(jd, 2)])
 
-    nlive = jax.lax.div(pos + _ROWS - 1, _ROWS)
+    def nlive_of(b):
+        return jax.lax.div(pos_ref[b] + _ROWS - 1, _ROWS)
+
+    nlive0 = nlive_of(0)
     nb_kv = tmax // _ROWS
 
     # ---- prime the ring ----
@@ -978,16 +989,16 @@ def _decode_ring_kernel(
 
     def qkv_body(ci, _):
         d_wait(ci)
-        # KV lands just as attention starts: k0/v0 two blocks from the end
-        # of the qkv stream, k1/v1 one block from the end
-        @pl.when((ci == n_qkv - 2) & (nlive > 0))
+        # row 0's KV lands just as attention starts: k0/v0 two blocks from
+        # the end of the qkv stream, k1/v1 one block from the end
+        @pl.when((ci == n_qkv - 2) & (nlive0 > 0))
         def _():
-            k, v = kv_dma(0, 0)
+            k, v = kv_dma(0, 0, 0)
             k.start(); v.start()
         if nb_kv > 1:
-            @pl.when((ci == n_qkv - 1) & (nlive > 1))
+            @pl.when((ci == n_qkv - 1) & (nlive0 > 1))
             def _():
-                k, v = kv_dma(1, 1)
+                k, v = kv_dma(0, 1, 1)
                 k.start(); v.start()
         acc_lo, acc_hi = nibble_matvec_acc(
             hbuf, wbuf.at[jax.lax.rem(ci, ns)], qkv_sl, qkv_sh,
@@ -1001,90 +1012,118 @@ def _decode_ring_kernel(
     jax.lax.fori_loop(0, n_qkv, qkv_body, 0, unroll=False)
 
     # ---- rope + attention (bus keeps streaming o/gu blocks meanwhile) ----
+    # rope applies to ALL rows at once: the wrapper builds per-row cos/sin
+    # lane vectors [_BP, D] from each row's position
     cosv, slo, shi = cosv_ref[:], slo_ref[:], shi_ref[:]
-    q = _rope_flat(ybuf[0:1, 0:D], cosv, slo, shi, half)
-    k_new = _rope_flat(ybuf[0:1, D : 2 * D], cosv, slo, shi, half)
-    v_new = ybuf[0:1, 2 * D : 3 * D].astype(jnp.bfloat16)
-    knew_ref[:] = k_new
-    vnew_ref[:] = v_new
+    q_all = _rope_flat(ybuf[:, 0:D], cosv, slo, shi, half)
+    k_all = _rope_flat(ybuf[:, D : 2 * D], cosv, slo, shi, half)
+    v_all = ybuf[:, 2 * D : 3 * D].astype(jnp.bfloat16)
+    knew_ref[:] = k_all
+    vnew_ref[:] = v_all
 
     scale = 1.0 / math.sqrt(hd)
     seg = seg_ref[:]
     segt = segt_ref[:]
+    cbuf[:] = jnp.zeros((cbuf.shape[0], D), jnp.bfloat16)
 
-    def attn_block(tb, carry):
-        m, l, acc = carry
-        slot = jax.lax.rem(tb, 2)
+    # per-row attention, sequential over the (static) batch rows; the
+    # weight ring keeps streaming o/gate_up blocks underneath
+    for b in range(rows):
+        q = q_all[b : b + 1]
+        k_new = k_all[b : b + 1]
+        v_new = v_all[b : b + 1]
+        nlive = nlive_of(b)
 
-        # blocks 0 and 1 were issued from the qkv stream's tail; the
-        # in-loop refill only covers block 2 onward — re-starting an
-        # already-started slot double-signals its DMA semaphore (a
-        # runtime-INTERNAL crash on hardware)
-        @pl.when((tb + 1 < nlive) & (tb + 1 >= 2))
-        def _():
-            k, v = kv_dma(jax.lax.rem(tb + 1, 2), tb + 1)
-            k.start(); v.start()
+        if b > 0:
+            # rows > 0 prime their own first KV blocks (row 0's were
+            # issued from the qkv stream's tail); sequencing after the
+            # previous row's loop reuses the same 2 slots safely
+            @pl.when(nlive > 0)
+            def _():
+                k, v = kv_dma(b, 0, 0)
+                k.start(); v.start()
+            if nb_kv > 1:
+                @pl.when(nlive > 1)
+                def _():
+                    k, v = kv_dma(b, 1, 1)
+                    k.start(); v.start()
 
-        k, v = kv_dma(slot, tb)
-        k.wait(); v.wait()
-        kb = kbuf[slot]
-        vb = vbuf[slot]
-        prod = (kb * q).astype(jnp.bfloat16)
-        logits = (
-            jnp.dot(prod, seg, preferred_element_type=jnp.float32) * scale
+        def attn_block(tb, carry, b=b):
+            m, l, acc = carry
+            slot = jax.lax.rem(tb, 2)
+            nl = nlive_of(b)
+
+            # blocks 0 and 1 were issued before the loop; the in-loop
+            # refill only covers block 2 onward — re-starting an
+            # already-started slot double-signals its DMA semaphore (a
+            # runtime-INTERNAL crash on hardware)
+            @pl.when((tb + 1 < nl) & (tb + 1 >= 2))
+            def _():
+                k, v = kv_dma(b, jax.lax.rem(tb + 1, 2), tb + 1)
+                k.start(); v.start()
+
+            k, v = kv_dma(b, slot, tb)
+            k.wait(); v.wait()
+            kb = kbuf[slot]
+            vb = vbuf[slot]
+            prod = (kb * q).astype(jnp.bfloat16)
+            logits = (
+                jnp.dot(prod, seg, preferred_element_type=jnp.float32)
+                * scale
+            )
+            mb = mask_ref[pl.ds(tb * _ROWS, _ROWS), b : b + 1]
+            logits = logits + (mb - 1.0) * (-_NEG)
+            m_blk = jnp.max(logits, axis=0, keepdims=True)
+            m_new = jnp.maximum(m, m_blk)
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(logits - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
+            C = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), vb,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            contrib = jnp.sum(
+                C * segt.astype(jnp.float32), axis=0, keepdims=True
+            )
+            alpha_lanes = jnp.dot(
+                alpha.astype(jnp.bfloat16), segt,
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc * alpha_lanes + contrib
+
+        m0 = jnp.full((1, heads), _NEG, jnp.float32)
+        l0 = jnp.zeros((1, heads), jnp.float32)
+        acc0 = jnp.zeros((1, D), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, nlive, attn_block, (m0, l0, acc0))
+
+        cur = (
+            jnp.dot(
+                (k_new * q).astype(jnp.bfloat16), seg,
+                preferred_element_type=jnp.float32,
+            )
+            * scale
         )
-        mb = mask_ref[pl.ds(tb * _ROWS, _ROWS), :]
-        logits = logits + (mb - 1.0) * (-_NEG)
-        m_blk = jnp.max(logits, axis=0, keepdims=True)
-        m_new = jnp.maximum(m, m_blk)
+        m_new = jnp.maximum(m, cur)
         alpha = jnp.exp(m - m_new)
-        p = jnp.exp(logits - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
-        C = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), vb,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        contrib = jnp.sum(
-            C * segt.astype(jnp.float32), axis=0, keepdims=True
-        )
+        p_cur = jnp.exp(cur - m_new)
+        l = l * alpha + p_cur
         alpha_lanes = jnp.dot(
             alpha.astype(jnp.bfloat16), segt,
             preferred_element_type=jnp.float32,
         )
-        return m_new, l_new, acc * alpha_lanes + contrib
-
-    m0 = jnp.full((1, heads), _NEG, jnp.float32)
-    l0 = jnp.zeros((1, heads), jnp.float32)
-    acc0 = jnp.zeros((1, D), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, nlive, attn_block, (m0, l0, acc0))
-
-    cur = (
-        jnp.dot(
-            (k_new * q).astype(jnp.bfloat16), seg,
+        p_lanes = jnp.dot(
+            p_cur.astype(jnp.bfloat16), segt,
             preferred_element_type=jnp.float32,
         )
-        * scale
-    )
-    m_new = jnp.maximum(m, cur)
-    alpha = jnp.exp(m - m_new)
-    p_cur = jnp.exp(cur - m_new)
-    l = l * alpha + p_cur
-    alpha_lanes = jnp.dot(
-        alpha.astype(jnp.bfloat16), segt, preferred_element_type=jnp.float32
-    )
-    p_lanes = jnp.dot(
-        p_cur.astype(jnp.bfloat16), segt, preferred_element_type=jnp.float32
-    )
-    acc = acc * alpha_lanes + p_lanes * v_new.astype(jnp.float32)
+        acc = acc * alpha_lanes + p_lanes * v_new.astype(jnp.float32)
 
-    l_lanes = jnp.dot(
-        l.astype(jnp.float32), segt.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
-    ctx = (acc / jnp.maximum(l_lanes, 1e-30)).astype(jnp.bfloat16)
-    cbuf[:] = jnp.zeros((cbuf.shape[0], D), jnp.bfloat16)
-    cbuf[0:1, :] = ctx
+        l_lanes = jnp.dot(
+            l.astype(jnp.float32), segt.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        ctx = (acc / jnp.maximum(l_lanes, 1e-30)).astype(jnp.bfloat16)
+        cbuf[b : b + 1, :] = ctx
 
     # ---- o stream ----
     n2_o = n_o * nblk
@@ -1154,26 +1193,26 @@ def _decode_ring_kernel(
         return 0
 
     jax.lax.fori_loop(0, n_dn, dn_body, 0, unroll=False)
-    out_ref[:] = ydbuf[0:1, :].astype(jnp.bfloat16)
+    out_ref[:] = ydbuf[:].astype(jnp.bfloat16)
 
 
 @functools.partial(
     jax.jit, static_argnames=("eps", "heads", "hd", "ns", "interpret")
 )
 def decode_layer_ring(
-    x: jnp.ndarray,          # [1, 1, D] bf16 (B=T=1)
+    x: jnp.ndarray,          # [B, 1, D] bf16 (T=1, B <= _BP)
     ln1_w: jnp.ndarray,
     qkv: Int4Weight,
     o: Int4Weight,
     ln2_w: jnp.ndarray,
     gate_up: Int4Weight,
     down: Int4Weight,
-    cache_k: jnp.ndarray,    # [L, 1, Tmax, D] bf16
+    cache_k: jnp.ndarray,    # [L, B, Tmax, D] bf16
     cache_v: jnp.ndarray,
     li,
-    pos,
-    mask: jnp.ndarray,
-    cos: jnp.ndarray,
+    pos,                     # int32 scalar or [B]: per-row write slot
+    mask: jnp.ndarray,       # [Tmax] or [B, Tmax]
+    cos: jnp.ndarray,        # [hd//2] or [B, hd//2]
     sin: jnp.ndarray,
     *,
     eps: float,
@@ -1183,8 +1222,15 @@ def decode_layer_ring(
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Whole decode layer with the manual ``ns``-slot DMA ring
-    (:func:`_decode_ring_kernel`); same contract as :func:`decode_layer`."""
+    (:func:`_decode_ring_kernel`); same contract as :func:`decode_layer`,
+    generalized to ``B <= 8`` batch rows (multi-episode serving): the
+    weight streams are shared across rows for free, each row attends over
+    its own cache with its own position/mask/rope.  Returns
+    ``(x_out [B,1,D], k_new [B,D], v_new [B,D])``."""
+    B = x.shape[0]
     D = x.shape[-1]
+    assert 1 <= B <= _BP, B
+    assert cache_k.shape[1] >= B
     tmax = cache_k.shape[2]
     assert tmax % _ROWS == 0
     assert qkv.n == 3 * D and qkv.d == D and o.d == D and o.n == D
@@ -1201,7 +1247,7 @@ def decode_layer_ring(
     # the down ring is primed at gate_up blocks n_gu-3 / n_gu-2
     assert n_gu >= 3, f"ring kernel needs >= 3 gate_up blocks, got {n_gu}"
 
-    xp = jnp.pad(x.reshape(1, D).astype(jnp.bfloat16), ((0, _BP - 1), (0, 0)))
+    xp = jnp.pad(x.reshape(B, D).astype(jnp.bfloat16), ((0, _BP - B), (0, 0)))
     seg = np.zeros((D, heads), np.float32)
     for hh in range(heads):
         seg[hh * hd : (hh + 1) * hd, hh] = 1.0
@@ -1211,16 +1257,33 @@ def decode_layer_ring(
     i_lane = np.arange(D) % hd
     idx = jnp.asarray(i_lane % half)
     lo_mask = jnp.asarray(i_lane < half)
-    cosv = cos.astype(jnp.float32)[idx].reshape(1, D)
-    sin_l = sin.astype(jnp.float32)[idx]
-    slo = jnp.where(lo_mask, -sin_l, 0.0).reshape(1, D)
-    shi = jnp.where(lo_mask, 0.0, sin_l).reshape(1, D)
+    cos2 = jnp.atleast_2d(cos.astype(jnp.float32))      # [B, half]
+    sin2 = jnp.atleast_2d(sin.astype(jnp.float32))
+    if cos2.shape[0] == 1 and B > 1:
+        cos2 = jnp.broadcast_to(cos2, (B, half))
+        sin2 = jnp.broadcast_to(sin2, (B, half))
+    cosv = jnp.pad(cos2[:, idx], ((0, _BP - B), (0, 0)))      # [_BP, D]
+    sin_l = jnp.pad(sin2[:, idx], ((0, _BP - B), (0, 0)))
+    slo = jnp.where(lo_mask[None, :], -sin_l, 0.0)
+    shi = jnp.where(lo_mask[None, :], 0.0, sin_l)
+
+    mask2 = jnp.atleast_2d(mask)                         # [B, Tmax]
+    if mask2.shape[0] == 1 and B > 1:
+        mask2 = jnp.broadcast_to(mask2, (B, tmax))
+    mask_t = jnp.pad(
+        mask2.astype(jnp.float32), ((0, _BP - B), (0, 0))
+    ).T                                                  # [Tmax, _BP]
+
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(-1)
+    if pos_arr.shape[0] == 1 and B > 1:
+        pos_arr = jnp.broadcast_to(pos_arr, (B,))
+    pos_arr = jnp.pad(pos_arr, (0, _BP - B))             # dead rows: pos 0
 
     kernel = functools.partial(
         _decode_ring_kernel,
         eps=eps, heads=heads, hd=hd, dblk=dblk, nblk=nblk, tmax=tmax,
         n_qkv=n_qkv, n_o=n_o, n_gu=n_gu, n_dn=n_dn, ns=ns,
-        blocked=qkv.blocked,
+        blocked=qkv.blocked, rows=B,
     )
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pl.ANY)
@@ -1259,9 +1322,9 @@ def decode_layer_ring(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((1, D), jnp.bfloat16),
-            jax.ShapeDtypeStruct((1, D), jnp.bfloat16),
-            jax.ShapeDtypeStruct((1, D), jnp.bfloat16),
+            jax.ShapeDtypeStruct((_BP, D), jnp.bfloat16),
+            jax.ShapeDtypeStruct((_BP, D), jnp.bfloat16),
+            jax.ShapeDtypeStruct((_BP, D), jnp.bfloat16),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -1269,7 +1332,7 @@ def decode_layer_ring(
         ),
     )(
         jnp.asarray(li, jnp.int32).reshape(1),
-        jnp.asarray(pos, jnp.int32).reshape(1),
+        pos_arr,
         xp,
         ln1_w.reshape(1, D).astype(jnp.float32),
         ln2_w.reshape(1, D).astype(jnp.float32),
@@ -1278,9 +1341,13 @@ def decode_layer_ring(
         gate_up.q4, gate_up.s_lo, gate_up.s_hi,
         down.q4, down.s_lo, down.s_hi,
         cache_k, cache_v,
-        mask.reshape(tmax, 1).astype(jnp.float32),
+        mask_t,
         cosv, slo, shi,
         seg,
         seg.T,
     )
-    return out.reshape(1, 1, D), k_new, v_new
+    return (
+        out[:B].reshape(B, 1, D),
+        k_new[:B],
+        v_new[:B],
+    )

@@ -588,3 +588,90 @@ def test_fused_decode_layer_matches_split(monkeypatch):
         np.asarray(cache_s.v[:, 0, T], np.float32),
         rtol=3e-2, atol=3e-2,
     )
+
+
+def test_fused_decode_ring_batched_matches_unfused(monkeypatch):
+    """decode_layer_ring at B=3 (per-row caches, positions, masks and rope;
+    shared weight streams) == decode_forward on the XLA int4 path, logits
+    and per-row cache writes, with different prompt lengths per row."""
+    import functools
+
+    from dynam3d_tpu import flags
+    from dynam3d_tpu.config import Phi3Config
+    from dynam3d_tpu.models.vlm import phi3
+    from dynam3d_tpu.ops import pallas_decode
+    from dynam3d_tpu.ops.pallas_int4 import pack_int4
+
+    cfg = Phi3Config(
+        vocab_size=512, hidden_size=256, intermediate_size=512,
+        num_layers=2, num_heads=4, num_kv_heads=4, head_dim=64,
+        pad_token_id=260, end_token_id=257,
+    )
+    params = phi3.init_phi3_params(jax.random.PRNGKey(0), cfg)
+    qparams = phi3.quantize_phi3(params, bits=4)
+    for li in range(cfg.num_layers):
+        lp = params["layers"][li]
+        qlp = qparams["layers"][li]
+        for name in ("qkv", "o", "gate_up", "down"):
+            qlp[name]["q4"] = pack_int4(
+                lp[name].astype(jnp.float32), dblk=128, nblk=128
+            )
+
+    monkeypatch.setattr(
+        pallas_decode, "decode_layer_ring",
+        functools.partial(
+            pallas_decode.decode_layer_ring.__wrapped__, interpret=True
+        ),
+    )
+    monkeypatch.setattr(flags, "FUSED_DECODE_RING", True)
+
+    rng = np.random.default_rng(13)
+    B, T, D = 3, 40, cfg.hidden_size
+    total = 512
+    cache = phi3.init_cache(cfg, B, total, dtype=jnp.bfloat16)
+    embeds = jnp.asarray(rng.normal(size=(B, T, D)), jnp.bfloat16)
+    # rows with DIFFERENT valid prompt lengths (right padding)
+    av = np.zeros((B, T), bool)
+    av[0, :40] = True
+    av[1, :25] = True
+    av[2, :33] = True
+    av[1, 10:13] = False  # plus a padding hole mid-prompt
+    av = jnp.asarray(av)
+    positions = jnp.maximum(jnp.cumsum(av.astype(jnp.int32), 1) - 1, 0)
+    mask = phi3.prefill_mask(av, total)
+    _, cache = phi3.forward(qparams, cfg, embeds, positions, cache, 0, mask)
+
+    valid = np.zeros((B, total), bool)
+    valid[:, :T] = np.asarray(av)
+    valid[:, T] = True
+    valid = jnp.asarray(valid)
+    e = jnp.asarray(rng.normal(size=(B, 1, D)), jnp.bfloat16)
+    pos = (jnp.sum(valid, axis=1) - 1)[:, None]
+
+    logits_u, cache_u = phi3.decode_forward(
+        qparams, cfg, e, pos, cache, T, valid[:, None, :]
+    )
+    flat = phi3.KVCache(
+        cache.k.reshape(cfg.num_layers, B, total, D),
+        cache.v.reshape(cfg.num_layers, B, total, D),
+    )
+    assert phi3._ring_eligible(qparams, cfg)
+    logits_r, cache_r = phi3._decode_forward_fused(
+        qparams, cfg, e, pos, flat, T, valid
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(logits_r, np.float32), np.asarray(logits_u, np.float32),
+        rtol=5e-2, atol=5e-2,
+    )
+    for b in range(B):
+        assert int(jnp.argmax(logits_r[b, 0])) == int(
+            jnp.argmax(logits_u[b, 0])
+        ), b
+    np.testing.assert_allclose(
+        np.asarray(cache_r.k[:, :, T], np.float32),
+        np.asarray(
+            cache_u.k[:, :, T].reshape(cfg.num_layers, B, D), np.float32
+        ),
+        rtol=3e-2, atol=3e-2,
+    )

@@ -34,6 +34,7 @@ def main():
 
     cfg = Phi3Config()
     T = int(os.environ.get("DYNAM3D_AB_PROMPT", "816"))
+    B = int(os.environ.get("DYNAM3D_AB_BATCH", "1"))
     lens = [
         int(x) for x in os.environ.get("DYNAM3D_AB_TOKENS", "20,5").split(",")
     ]
@@ -45,10 +46,12 @@ def main():
     params = phi3.quantize_phi3(params, bits=4, consume=True)
 
     embeds = jnp.asarray(
-        rng.normal(scale=0.5, size=(1, T, cfg.hidden_size)), jnp.bfloat16
+        rng.normal(scale=0.5, size=(B, T, cfg.hidden_size)), jnp.bfloat16
     )
-    valid = np.ones((1, T), bool)
+    valid = np.ones((B, T), bool)
     valid[0, 700:708] = False  # padding holes exercise the mask path
+    for b in range(1, B):      # rows with different prompt lengths
+        valid[b, T - 60 * b :] = False
     valid = jnp.asarray(valid)
 
     def sync(x):
