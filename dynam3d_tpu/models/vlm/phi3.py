@@ -255,7 +255,9 @@ def _fused_decode_eligible(params: Params, cfg: Phi3Config, batch: int) -> bool:
     qkv/o at unpadded dims and MHA (ops/pallas_decode.py docstring): B = 1
     on any fused path, B <= 8 on the ring kernel (rows ride the shared
     weight streams; per-row attention)."""
-    max_b = 8 if flags.FUSED_DECODE_RING else 1
+    from dynam3d_tpu.ops.pallas_decode import _BP
+
+    max_b = _BP if flags.FUSED_DECODE_RING else 1
     if not (
         flags.FUSED_DECODE_ATTN
         and 1 <= batch <= max_b
@@ -287,18 +289,19 @@ def _fused_decode_eligible(params: Params, cfg: Phi3Config, batch: int) -> bool:
 def _ring_eligible(params: Params, cfg: Phi3Config) -> bool:
     if not (flags.FUSED_DECODE_RING and _fused_layer_eligible(params, cfg)):
         return False
+    # the ring's static prime points: >= 3 gate_up and >= 2 qkv blocks
+    qkv = params["layers"][0]["qkv"]["q4"]
     gu = params["layers"][0]["gate_up"]["q4"]
-    return gu.n2 >= 3 * gu.nblk
+    return gu.n2 >= 3 * gu.nblk and qkv.n2 >= 2 * qkv.nblk
 
 
 def _fused_layer_eligible(params: Params, cfg: Phi3Config) -> bool:
-    """Extra eligibility for the whole-layer kernels (grid-pipelined or
-    manual-ring): the MLP weights must be packed int4 with the same block
-    sizes as the attention ones."""
-    if not (flags.FUSED_DECODE_LAYER or flags.FUSED_DECODE_RING):
-        return False
+    """STRUCTURAL eligibility for the whole-layer kernels (grid-pipelined
+    or manual-ring): the MLP weights must be packed int4 with the same
+    block sizes as the attention ones.  Callers apply the flags."""
     p0 = params["layers"][0]
     qkv = p0["qkv"]["q4"]
+    o = p0["o"]["q4"]
     gu, dn = p0.get("gate_up"), p0.get("down")
     D = cfg.hidden_size
     return (
@@ -309,7 +312,7 @@ def _fused_layer_eligible(params: Params, cfg: Phi3Config) -> bool:
         and gu["q4"].n2 == dn["q4"].dp               # swiglu width == down rows
         and gu["q4"].dblk == qkv.dblk == dn["q4"].dblk
         and gu["q4"].blocked == qkv.blocked == dn["q4"].blocked
-        and qkv.nblk == gu["q4"].nblk == dn["q4"].nblk
+        and qkv.nblk == o.nblk == gu["q4"].nblk == dn["q4"].nblk
     )
 
 
@@ -344,8 +347,13 @@ def _decode_forward_fused(
 
     from dynam3d_tpu.ops.pallas_int4 import int4_mlp_block
 
-    whole_layer = _fused_layer_eligible(params, cfg)
     use_ring = _ring_eligible(params, cfg)
+    use_layer = (
+        not use_ring
+        and flags.FUSED_DECODE_LAYER
+        and _fused_layer_eligible(params, cfg)
+    )
+    whole_layer = use_ring or use_layer
     assert B == 1 or use_ring, "B > 1 fused decode requires the ring kernel"
     x = embeds
     ck, cv = cache.k, cache.v
@@ -359,7 +367,7 @@ def _decode_forward_fused(
                 eps=cfg.rms_eps, heads=cfg.num_heads, hd=cfg.head_dim,
                 ns=flags.FUSED_RING_SLOTS,
             )
-        elif whole_layer:
+        elif use_layer:
             x, k_new, v_new = decode_layer(
                 x, p["input_ln"], p["qkv"]["q4"], p["o"]["q4"],
                 p["post_ln"], p["gate_up"]["q4"], p["down"]["q4"],

@@ -558,11 +558,14 @@ def _decode_layer_kernel(
             alpha = jnp.exp(m - m_new)
             p = jnp.exp(logits - m_new)
             l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
-            p_lanes = jnp.dot(
-                p.astype(jnp.bfloat16), segt, preferred_element_type=jnp.float32
+            # V reduction on the MXU (same form as the attn/ring kernels)
+            C = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), vb,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
             contrib = jnp.sum(
-                p_lanes * vb.astype(jnp.float32), axis=0, keepdims=True
+                C * segt.astype(jnp.float32), axis=0, keepdims=True
             )
             alpha_lanes = jnp.dot(
                 alpha.astype(jnp.bfloat16), segt,
@@ -894,8 +897,8 @@ def _decode_ring_kernel(
     li = li_ref[0]
     n_comb = n_qkv + n_o + n_gu     # combined D-row block sequence
 
-    def d_copy(ii, slot):
-        """Async-copy descriptor for combined block ``ii`` into ``slot``."""
+    def d_copy(ii):
+        """HBM source slices for combined block ``ii`` (one per stream)."""
         jo = ii - n_qkv
         jg = ii - n_qkv - n_o
         if blocked:
@@ -914,7 +917,7 @@ def _decode_ring_kernel(
         @pl.when(ii < n_comb)
         def _():
             slot = jax.lax.rem(ii, ns)
-            srcs = d_copy(ii, slot)
+            srcs = d_copy(ii)
 
             @pl.when(ii < n_qkv)
             def _():
@@ -933,7 +936,7 @@ def _decode_ring_kernel(
 
     def d_wait(ci):
         slot = jax.lax.rem(ci, ns)
-        srcs = d_copy(ci, slot)
+        srcs = d_copy(ci)
 
         @pl.when(ci < n_qkv)
         def _():
@@ -961,7 +964,8 @@ def _decode_ring_kernel(
         )
         return k, v
 
-    def dn_dma(slot, jd):
+    def dn_dma(jd):
+        """Down-block DMA; the slot is always ``jd % 2``."""
         if blocked:
             src = dn_q4.at[jnp.clip(jd, 0, n_dn - 1)]
         else:
@@ -1157,10 +1161,11 @@ def _decode_ring_kernel(
         # down block 0/1 issued so they land as the gate_up stream ends
         @pl.when(jg == n_gu - 3)
         def _():
-            dn_dma(0, 0).start()
-        @pl.when(jg == n_gu - 2)
-        def _():
-            dn_dma(1, 1).start()
+            dn_dma(0).start()
+        if n_dn > 1:   # a 1-block down has no second DMA to prime
+            @pl.when(jg == n_gu - 2)
+            def _():
+                dn_dma(1).start()
         gate, up = nibble_matvec_acc(
             hbuf, wbuf.at[jax.lax.rem(ci, ns)], gu_sl, gu_sh,
             dblk=dblk, g=gu_sl.shape[0], col_start=jg * nblk,
@@ -1178,8 +1183,8 @@ def _decode_ring_kernel(
     def dn_body(jd, _):
         @pl.when(jd + 2 < n_dn)
         def _():
-            dn_dma(jd + 2, jd + 2).start()
-        dn_dma(jd, jd).wait()
+            dn_dma(jd + 2).start()
+        dn_dma(jd).wait()
         lo, hi = nibble_matvec_acc(
             h2buf, dbuf.at[jax.lax.rem(jd, 2)], dn_sl, dn_sh,
             dblk=dblk, g=dn_sl.shape[0], col_start=jd * nblk,
@@ -1244,8 +1249,10 @@ def decode_layer_ring(
     n_qkv, n_o = qkv.n2 // nblk, o.n2 // nblk
     n_gu, n_dn = gate_up.n2 // nblk, down.n2 // nblk
     assert gate_up.n2 == ip
-    # the down ring is primed at gate_up blocks n_gu-3 / n_gu-2
+    # the down ring is primed at gate_up blocks n_gu-3 / n_gu-2, and row 0's
+    # KV blocks are primed at qkv blocks n_qkv-2 / n_qkv-1
     assert n_gu >= 3, f"ring kernel needs >= 3 gate_up blocks, got {n_gu}"
+    assert n_qkv >= 2, f"ring kernel needs >= 2 qkv blocks, got {n_qkv}"
 
     xp = jnp.pad(x.reshape(B, D).astype(jnp.bfloat16), ((0, _BP - B), (0, 0)))
     seg = np.zeros((D, heads), np.float32)

@@ -556,8 +556,11 @@ def test_fused_decode_layer_matches_split(monkeypatch):
     )
     monkeypatch.setattr(flags, "FUSED_DECODE_RING", False)
 
+    # with both whole-layer flags off, dispatch falls back to the split
+    # path (eligibility itself is structural and stays True)
     monkeypatch.setattr(flags, "FUSED_DECODE_LAYER", False)
-    assert not phi3._fused_layer_eligible(qparams, cfg)
+    assert phi3._fused_layer_eligible(qparams, cfg)
+    assert not phi3._ring_eligible(qparams, cfg)
     logits_s, cache_s = phi3._decode_forward_fused(
         qparams, cfg, e, pos, flat, T, valid
     )

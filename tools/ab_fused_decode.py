@@ -71,6 +71,13 @@ def main():
     if only:
         keep = set(only.split(",")) | {"unfused"}
         configs = [c for c in configs if c[0] in keep]
+    if B > 1:
+        # split/layer cap at batch == 1 — at B > 1 they would silently
+        # fall back to the unfused path and report mislabeled numbers
+        dropped = [c[0] for c in configs if c[0] in ("split", "layer")]
+        if dropped:
+            print(f"B={B}: dropping ineligible configs {dropped}", flush=True)
+        configs = [c for c in configs if c[0] not in ("split", "layer")]
     for name, attn_on, layer_on, ring_on in configs:
         flags.FUSED_DECODE_ATTN = attn_on
         flags.FUSED_DECODE_LAYER = layer_on
