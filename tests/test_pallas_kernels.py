@@ -678,3 +678,71 @@ def test_fused_decode_ring_batched_matches_unfused(monkeypatch):
         ),
         rtol=3e-2, atol=3e-2,
     )
+
+
+def test_fused_decode_ring_full_batch(monkeypatch):
+    """decode_layer_ring at B=8 (= _BP, no padding rows) matches the
+    unfused path — the top edge of the batched-serving range."""
+    import functools
+
+    from dynam3d_tpu import flags
+    from dynam3d_tpu.config import Phi3Config
+    from dynam3d_tpu.models.vlm import phi3
+    from dynam3d_tpu.ops import pallas_decode
+    from dynam3d_tpu.ops.pallas_int4 import pack_int4
+
+    cfg = Phi3Config(
+        vocab_size=512, hidden_size=256, intermediate_size=512,
+        num_layers=1, num_heads=4, num_kv_heads=4, head_dim=64,
+        pad_token_id=260, end_token_id=257,
+    )
+    params = phi3.init_phi3_params(jax.random.PRNGKey(1), cfg)
+    qparams = phi3.quantize_phi3(params, bits=4)
+    lp, qlp = params["layers"][0], qparams["layers"][0]
+    for name in ("qkv", "o", "gate_up", "down"):
+        qlp[name]["q4"] = pack_int4(
+            lp[name].astype(jnp.float32), dblk=128, nblk=128
+        )
+
+    monkeypatch.setattr(
+        pallas_decode, "decode_layer_ring",
+        functools.partial(
+            pallas_decode.decode_layer_ring.__wrapped__, interpret=True
+        ),
+    )
+    monkeypatch.setattr(flags, "FUSED_DECODE_RING", True)
+
+    rng = np.random.default_rng(21)
+    B, T, D = pallas_decode._BP, 16, cfg.hidden_size
+    total = 512
+    cache = phi3.init_cache(cfg, B, total, dtype=jnp.bfloat16)
+    embeds = jnp.asarray(rng.normal(size=(B, T, D)), jnp.bfloat16)
+    av = np.ones((B, T), bool)
+    for b in range(B):
+        av[b, T - (b % 5) :] = (b % 5) == 0   # varied prompt lengths
+    av = jnp.asarray(av)
+    positions = jnp.maximum(jnp.cumsum(av.astype(jnp.int32), 1) - 1, 0)
+    mask = phi3.prefill_mask(av, total)
+    _, cache = phi3.forward(qparams, cfg, embeds, positions, cache, 0, mask)
+
+    valid = np.zeros((B, total), bool)
+    valid[:, :T] = np.asarray(av)
+    valid[:, T] = True
+    valid = jnp.asarray(valid)
+    e = jnp.asarray(rng.normal(size=(B, 1, D)), jnp.bfloat16)
+    pos = (jnp.sum(valid, axis=1) - 1)[:, None]
+
+    logits_u, _ = phi3.decode_forward(
+        qparams, cfg, e, pos, cache, T, valid[:, None, :]
+    )
+    flat = phi3.KVCache(
+        cache.k.reshape(cfg.num_layers, B, total, D),
+        cache.v.reshape(cfg.num_layers, B, total, D),
+    )
+    logits_r, _ = phi3._decode_forward_fused(
+        qparams, cfg, e, pos, flat, T, valid
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_r, np.float32), np.asarray(logits_u, np.float32),
+        rtol=5e-2, atol=5e-2,
+    )
