@@ -125,6 +125,69 @@ def _rope_flat(flat, cosv, slo, shi, half):
     return (f * cosv + swap_lo * slo + swap_hi * shi).astype(jnp.bfloat16)
 
 
+def _attn_block_update(q, kb, vb, mb, m, l, acc, seg, segt, scale):
+    """One online-softmax update over a ``[_ROWS, D]`` KV block — the ONE
+    attention body every decode kernel shares (attn / layer / ring).
+
+    ``logits = (kb*q) @ seg`` sums each head's lanes on the MXU without a
+    relayout; the V reduction is the row-contracting dot
+    ``C[h,l] = sum_t p[t,h] vb[t,l]`` plus a ``[H, D]`` mask-combine with
+    ``segt``.  ``mb`` is the block's mask column (1 = attend).  Returns
+    the updated ``(m, l, acc)`` carry."""
+    prod = (kb * q).astype(jnp.bfloat16)
+    logits = (
+        jnp.dot(prod, seg, preferred_element_type=jnp.float32) * scale
+    )                                                 # [_ROWS, H]
+    logits = logits + (mb - 1.0) * (-_NEG)
+    m_blk = jnp.max(logits, axis=0, keepdims=True)    # [1, H]
+    m_new = jnp.maximum(m, m_blk)
+    alpha = jnp.exp(m - m_new)                        # [1, H]
+    p = jnp.exp(logits - m_new)                       # [_ROWS, H]
+    l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
+    C = jax.lax.dot_general(
+        p.astype(jnp.bfloat16), vb,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                 # [H, D]
+    contrib = jnp.sum(
+        C * segt.astype(jnp.float32), axis=0, keepdims=True
+    )
+    alpha_lanes = jnp.dot(
+        alpha.astype(jnp.bfloat16), segt,
+        preferred_element_type=jnp.float32,
+    )
+    return m_new, l_new, acc * alpha_lanes + contrib
+
+
+def _attn_fold_current(q, k_new, v_new, m, l, acc, seg, segt, scale):
+    """Fold the current token's k/v into the online softmax from registers
+    (it never round-trips through HBM) and normalize; returns the bf16
+    ``[1, D]`` attention context.  Shared by all decode kernels."""
+    cur = (
+        jnp.dot(
+            (k_new * q).astype(jnp.bfloat16), seg,
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+    )                                                 # [1, H]
+    m_new = jnp.maximum(m, cur)
+    alpha = jnp.exp(m - m_new)
+    p_cur = jnp.exp(cur - m_new)                      # [1, H]
+    l = l * alpha + p_cur
+    alpha_lanes = jnp.dot(
+        alpha.astype(jnp.bfloat16), segt, preferred_element_type=jnp.float32
+    )
+    p_lanes = jnp.dot(
+        p_cur.astype(jnp.bfloat16), segt, preferred_element_type=jnp.float32
+    )
+    acc = acc * alpha_lanes + p_lanes * v_new.astype(jnp.float32)
+    l_lanes = jnp.dot(
+        l.astype(jnp.float32), segt.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return (acc / jnp.maximum(l_lanes, 1e-30)).astype(jnp.bfloat16)
+
+
 def _decode_attn_kernel(
     # scalar prefetch
     li_ref, pos_ref,
@@ -212,7 +275,6 @@ def _decode_attn_kernel(
         kv_start(0, 0)
 
     def attn_block(tb, carry):
-        m, l, acc = carry
         slot = jax.lax.rem(tb, 2)
 
         @pl.when(tb + 1 < nlive)
@@ -220,37 +282,10 @@ def _decode_attn_kernel(
             kv_start(jax.lax.rem(tb + 1, 2), tb + 1)
 
         kv_wait(slot, tb)
-        kb = kbuf[slot]                                   # [_ROWS, D] bf16
-        vb = vbuf[slot]
-        prod = (kb * q).astype(jnp.bfloat16)
-        logits = (
-            jnp.dot(prod, seg, preferred_element_type=jnp.float32) * scale
-        )                                                 # [_ROWS, H]
         mb = mask_ref[pl.ds(tb * _ROWS, _ROWS), :]        # [_ROWS, 1]
-        logits = logits + (mb - 1.0) * (-_NEG)
-        m_blk = jnp.max(logits, axis=0, keepdims=True)    # [1, H]
-        m_new = jnp.maximum(m, m_blk)
-        alpha = jnp.exp(m - m_new)                        # [1, H]
-        p = jnp.exp(logits - m_new)                       # [_ROWS, H]
-        l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
-        # V reduction on the MXU: C[h, l] = sum_t p[t,h] * vb[t,l] is one
-        # row-contracting dot; each lane then keeps its own head's row via
-        # the segt mask (a [H, D] elementwise + H-sublane reduce) — this
-        # replaces the [_ROWS, D] broadcast-multiply + _ROWS-sublane
-        # reduction the p@segt formulation needed on the VPU.
-        C = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), vb,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                 # [H, D]
-        contrib = jnp.sum(
-            C * segt.astype(jnp.float32), axis=0, keepdims=True
+        return _attn_block_update(
+            q, kbuf[slot], vbuf[slot], mb, *carry, seg, segt, scale
         )
-        alpha_lanes = jnp.dot(
-            alpha.astype(jnp.bfloat16), segt,
-            preferred_element_type=jnp.float32,
-        )
-        return m_new, l_new, acc * alpha_lanes + contrib
 
     m0 = jnp.full((1, heads), _NEG, jnp.float32)
     l0 = jnp.zeros((1, heads), jnp.float32)
@@ -258,30 +293,7 @@ def _decode_attn_kernel(
     m, l, acc = jax.lax.fori_loop(0, nlive, attn_block, (m0, l0, acc0))
 
     # ---- fold in the current token (never round-trips through HBM) ----
-    cur = (
-        jnp.dot(
-            (k_new * q).astype(jnp.bfloat16), seg,
-            preferred_element_type=jnp.float32,
-        )
-        * scale
-    )                                                     # [1, H]
-    m_new = jnp.maximum(m, cur)
-    alpha = jnp.exp(m - m_new)
-    p_cur = jnp.exp(cur - m_new)                          # [1, H]
-    l = l * alpha + p_cur
-    alpha_lanes = jnp.dot(
-        alpha.astype(jnp.bfloat16), segt, preferred_element_type=jnp.float32
-    )
-    p_lanes = jnp.dot(
-        p_cur.astype(jnp.bfloat16), segt, preferred_element_type=jnp.float32
-    )
-    acc = acc * alpha_lanes + p_lanes * v_new.astype(jnp.float32)
-
-    l_lanes = jnp.dot(
-        l.astype(jnp.float32), segt.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
-    ctx = (acc / jnp.maximum(l_lanes, 1e-30)).astype(jnp.bfloat16)  # [1, D]
+    ctx = _attn_fold_current(q, k_new, v_new, m, l, acc, seg, segt, scale)
 
     # ---- o matvec + residual ----
     hbuf_ref[:] = jnp.zeros((_BP, D), jnp.bfloat16)
@@ -537,7 +549,6 @@ def _decode_layer_kernel(
             kv_start(0, 0)
 
         def attn_block(tb, carry):
-            m, l, acc = carry
             slot = jax.lax.rem(tb, 2)
 
             @pl.when(tb + 1 < nlive)
@@ -545,63 +556,19 @@ def _decode_layer_kernel(
                 kv_start(jax.lax.rem(tb + 1, 2), tb + 1)
 
             kv_wait(slot, tb)
-            kb = kbuf[slot]
-            vb = vbuf[slot]
-            prod = (kb * q).astype(jnp.bfloat16)
-            logits = (
-                jnp.dot(prod, seg, preferred_element_type=jnp.float32) * scale
-            )
             mb = mask_ref[pl.ds(tb * _ROWS, _ROWS), :]
-            logits = logits + (mb - 1.0) * (-_NEG)
-            m_blk = jnp.max(logits, axis=0, keepdims=True)
-            m_new = jnp.maximum(m, m_blk)
-            alpha = jnp.exp(m - m_new)
-            p = jnp.exp(logits - m_new)
-            l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
-            # V reduction on the MXU (same form as the attn/ring kernels)
-            C = jax.lax.dot_general(
-                p.astype(jnp.bfloat16), vb,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            return _attn_block_update(
+                q, kbuf[slot], vbuf[slot], mb, *carry, seg, segt, scale
             )
-            contrib = jnp.sum(
-                C * segt.astype(jnp.float32), axis=0, keepdims=True
-            )
-            alpha_lanes = jnp.dot(
-                alpha.astype(jnp.bfloat16), segt,
-                preferred_element_type=jnp.float32,
-            )
-            return m_new, l_new, acc * alpha_lanes + contrib
 
         m0 = jnp.full((1, heads), _NEG, jnp.float32)
         l0 = jnp.zeros((1, heads), jnp.float32)
         acc0 = jnp.zeros((1, D), jnp.float32)
         m, l, acc = jax.lax.fori_loop(0, nlive, attn_block, (m0, l0, acc0))
 
-        cur = (
-            jnp.dot(
-                (k_new * q).astype(jnp.bfloat16), seg,
-                preferred_element_type=jnp.float32,
-            )
-            * scale
+        ctx = _attn_fold_current(
+            q, k_new, v_new, m, l, acc, seg, segt, scale
         )
-        m_new = jnp.maximum(m, cur)
-        alpha = jnp.exp(m - m_new)
-        p_cur = jnp.exp(cur - m_new)
-        l = l * alpha + p_cur
-        alpha_lanes = jnp.dot(
-            alpha.astype(jnp.bfloat16), segt, preferred_element_type=jnp.float32
-        )
-        p_lanes = jnp.dot(
-            p_cur.astype(jnp.bfloat16), segt, preferred_element_type=jnp.float32
-        )
-        acc = acc * alpha_lanes + p_lanes * v_new.astype(jnp.float32)
-
-        l_lanes = jnp.dot(
-            l.astype(jnp.float32), segt.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        )
-        ctx = (acc / jnp.maximum(l_lanes, 1e-30)).astype(jnp.bfloat16)
         cbuf[:] = jnp.zeros((cbuf.shape[0], D), jnp.bfloat16)
         cbuf[0:1, :] = ctx
 
@@ -1053,7 +1020,6 @@ def _decode_ring_kernel(
                     k.start(); v.start()
 
         def attn_block(tb, carry, b=b):
-            m, l, acc = carry
             slot = jax.lax.rem(tb, 2)
             nl = nlive_of(b)
 
@@ -1068,65 +1034,19 @@ def _decode_ring_kernel(
 
             k, v = kv_dma(b, slot, tb)
             k.wait(); v.wait()
-            kb = kbuf[slot]
-            vb = vbuf[slot]
-            prod = (kb * q).astype(jnp.bfloat16)
-            logits = (
-                jnp.dot(prod, seg, preferred_element_type=jnp.float32)
-                * scale
-            )
             mb = mask_ref[pl.ds(tb * _ROWS, _ROWS), b : b + 1]
-            logits = logits + (mb - 1.0) * (-_NEG)
-            m_blk = jnp.max(logits, axis=0, keepdims=True)
-            m_new = jnp.maximum(m, m_blk)
-            alpha = jnp.exp(m - m_new)
-            p = jnp.exp(logits - m_new)
-            l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
-            C = jax.lax.dot_general(
-                p.astype(jnp.bfloat16), vb,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+            return _attn_block_update(
+                q, kbuf[slot], vbuf[slot], mb, *carry, seg, segt, scale
             )
-            contrib = jnp.sum(
-                C * segt.astype(jnp.float32), axis=0, keepdims=True
-            )
-            alpha_lanes = jnp.dot(
-                alpha.astype(jnp.bfloat16), segt,
-                preferred_element_type=jnp.float32,
-            )
-            return m_new, l_new, acc * alpha_lanes + contrib
 
         m0 = jnp.full((1, heads), _NEG, jnp.float32)
         l0 = jnp.zeros((1, heads), jnp.float32)
         acc0 = jnp.zeros((1, D), jnp.float32)
         m, l, acc = jax.lax.fori_loop(0, nlive, attn_block, (m0, l0, acc0))
 
-        cur = (
-            jnp.dot(
-                (k_new * q).astype(jnp.bfloat16), seg,
-                preferred_element_type=jnp.float32,
-            )
-            * scale
+        ctx = _attn_fold_current(
+            q, k_new, v_new, m, l, acc, seg, segt, scale
         )
-        m_new = jnp.maximum(m, cur)
-        alpha = jnp.exp(m - m_new)
-        p_cur = jnp.exp(cur - m_new)
-        l = l * alpha + p_cur
-        alpha_lanes = jnp.dot(
-            alpha.astype(jnp.bfloat16), segt,
-            preferred_element_type=jnp.float32,
-        )
-        p_lanes = jnp.dot(
-            p_cur.astype(jnp.bfloat16), segt,
-            preferred_element_type=jnp.float32,
-        )
-        acc = acc * alpha_lanes + p_lanes * v_new.astype(jnp.float32)
-
-        l_lanes = jnp.dot(
-            l.astype(jnp.float32), segt.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        )
-        ctx = (acc / jnp.maximum(l_lanes, 1e-30)).astype(jnp.bfloat16)
         cbuf[b : b + 1, :] = ctx
 
     # ---- o stream ----
