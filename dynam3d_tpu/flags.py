@@ -78,6 +78,9 @@ INT4_BLOCK_MAJOR: bool = _on("DYNAM3D_INT4_BLOCK_MAJOR")
 #: prefill matmuls as int8 x int8 -> int32 on the MXU (2x the bf16 peak).
 #: Measured 1.9x the per-matmul rate at prefill shapes with ~0.9% median
 #: relative error on top of weight quantization (tools/bench_int8_prefill.py,
-#: docs/BENCH_NOTES.md round 3).  Opt-in: adds activation-quant error to the
-#: teacher-forcing/eval logits.
-W8A8_PREFILL: bool = _on("DYNAM3D_W8A8_PREFILL")
+#: docs/BENCH_NOTES.md round 3); prefill 87.7 -> 75.1 ms in the full step.
+#: Default ON, consistent with the default int4 weight-only decode (both
+#: apply only to *quantized* inference packs — dense training/golden paths
+#: never take this branch).  Disable with DYNAM3D_W8A8_PREFILL=0 for
+#: bit-faithful weight-only-int8 eval logits.
+W8A8_PREFILL: bool = _on("DYNAM3D_W8A8_PREFILL", "1")

@@ -174,12 +174,19 @@ def test_teacher_targets_keep_waypoint():
     assert stop
 
 
-def test_quantized_decode_greedy_match(params):
+def test_quantized_decode_greedy_match(params, monkeypatch):
     """int8 weight-only decode preserves greedy tokens vs fp on the tiny
     config, and the packed-int4 decode path tracks fp logits teacher-forced
     through ``decode_forward`` (argmax equality is not meaningful for 4-bit
     weights on random tiny weights: the vocab-512 logits are near-uniform, so
-    any quantization flips ties — real checkpoints have peaked logits)."""
+    any quantization flips ties — real checkpoints have peaked logits).
+
+    W8A8 prefill (default on) is pinned OFF here: this test pins the
+    *weight-only* paths; the activation-quant delta has its own test
+    (test_w8a8_prefill_logits_close)."""
+    from dynam3d_tpu import flags
+
+    monkeypatch.setattr(flags, "W8A8_PREFILL", False)
     B, T = 2, 12
     rng = np.random.default_rng(3)
     ids = jnp.asarray(rng.integers(0, 300, size=(B, T)))
@@ -221,9 +228,13 @@ def test_quantized_decode_greedy_match(params):
     assert err < 0.15 * scale, (err, scale)
 
 
-def test_int4_prefill_logits_close(params):
+def test_int4_prefill_logits_close(params, monkeypatch):
     """The int4 pack's dequantized prefill logits track fp within the int4
-    quantization budget (sanity on scales/packing through the full stack)."""
+    quantization budget (sanity on scales/packing through the full stack).
+    W8A8 pinned off: this isolates the weight-quantization error."""
+    from dynam3d_tpu import flags
+
+    monkeypatch.setattr(flags, "W8A8_PREFILL", False)
     B, T = 1, 8
     rng = np.random.default_rng(4)
     ids = jnp.asarray(rng.integers(0, 300, size=(B, T)))
@@ -240,6 +251,32 @@ def test_int4_prefill_logits_close(params):
     # loose: at hidden_size 64 the quantization noise has few terms to
     # average over, so the relative budget is far wider than at real dims
     assert err < 0.25 * scale, (err, scale)
+
+
+def test_forward_lm_at_matches_full(params):
+    """``forward(lm_at=last)`` returns exactly the full pass's logits at
+    each row's last valid position (generation computes the lm_head only
+    there; the caches must be identical too)."""
+    B, T = 3, 10
+    rng = np.random.default_rng(11)
+    ids = jnp.asarray(rng.integers(0, 300, size=(B, T)))
+    lens = jnp.asarray([10, 7, 4])
+    valid = jnp.arange(T)[None, :] < lens[:, None]
+    emb = phi3.embed(params, ids)
+    pos = jnp.maximum(jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1, 0)
+    mask = phi3.prefill_mask(valid, T)
+    cache = phi3.init_cache(TINY, B, T, dtype=emb.dtype)
+    l_full, c_full = phi3.forward(params, TINY, emb, pos, cache, 0, mask)
+    last = jnp.sum(valid.astype(jnp.int32), axis=1) - 1
+    l_at, c_at = phi3.forward(
+        params, TINY, emb, pos, cache, 0, mask, lm_at=last
+    )
+    assert l_at.shape == (B, 1, l_full.shape[-1])
+    want = l_full[jnp.arange(B), last]
+    np.testing.assert_allclose(
+        np.asarray(l_at[:, 0]), np.asarray(want), atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(c_at.k), np.asarray(c_full.k))
 
 
 def test_decode_forward_matches_forward():
@@ -290,6 +327,7 @@ def test_w8a8_prefill_logits_close(params, monkeypatch):
     pos = jnp.tile(jnp.arange(T), (B, 1))
     mask = phi3.prefill_mask(valid, T)
     p8 = phi3.quantize_phi3(params, bits=8)
+    monkeypatch.setattr(flags, "W8A8_PREFILL", False)
     l_w8, _ = phi3.forward(p8, TINY, emb, pos, cache, 0, mask)
     monkeypatch.setattr(flags, "W8A8_PREFILL", True)
     l_a8, _ = phi3.forward(p8, TINY, emb, pos, cache, 0, mask)
