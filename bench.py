@@ -230,9 +230,11 @@ def _phase_breakdown(runner, params, cfg, state, obs, hist, rep, B, steps=6):
         cache = phi3_mod.init_cache(p3, emb.shape[0], T + new_tok, emb.dtype)
         pos = jnp.maximum(jnp.cumsum(av.astype(jnp.int32), 1) - 1, 0)
         mask = phi3_mod.prefill_mask(av, T + new_tok)
-        logits, _ = phi3_mod.forward(p["llava"]["phi3"], p3, emb, pos, cache, 0, mask)
         last = jnp.sum(av.astype(jnp.int32), 1) - 1
-        return jnp.argmax(logits[jnp.arange(emb.shape[0]), last], -1)
+        logits, _ = phi3_mod.forward(
+            p["llava"]["phi3"], p3, emb, pos, cache, 0, mask, lm_at=last
+        )
+        return jnp.argmax(logits[:, 0], -1)
 
     pf = jax.jit(prefill_only)
     triv = jax.jit(lambda x: x + 1.0)
@@ -282,7 +284,12 @@ def _phase_breakdown(runner, params, cfg, state, obs, hist, rep, B, steps=6):
     prefill_flops = 2 * n_valid * n_params + 4 * p3.num_layers * (
         n_valid * n_valid * p3.hidden_size
     )
-    peak_flops = 197e12  # v5e bf16
+    from dynam3d_tpu import flags as _flags
+
+    # MFU denominator follows the prefill matmul dtype: W8A8 (default) runs
+    # the prefill dots on the MXU's int8 path, whose peak is 2x bf16
+    w8a8 = _flags.W8A8_PREFILL
+    peak_flops = 394e12 if w8a8 else 197e12  # v5e int8 / bf16
     peak_bw = 819e9      # v5e HBM
     pf_net = max(prefill_ms - rtt, 1e-3)
     dec_per_tok = decode_ms / max(n_tok, 1)
@@ -295,6 +302,7 @@ def _phase_breakdown(runner, params, cfg, state, obs, hist, rep, B, steps=6):
         "decode_tokens": n_tok,
         "prompt_tokens": n_valid,
         "llm_params_m": round(n_params / 1e6, 1),
+        "prefill_matmul_dtype": "int8" if w8a8 else "bf16",
         "prefill_mfu_pct": round(100 * prefill_flops / (pf_net / 1e3) / peak_flops, 1),
         "decode_hbm_pct": round(
             100 * (dec_bytes + kv_bytes) / (dec_per_tok / 1e3) / peak_bw, 1

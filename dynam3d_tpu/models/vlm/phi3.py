@@ -177,13 +177,19 @@ def forward(
     write_at,                     # int/scalar: cache slot of embeds[:,0]
     attn_mask: jnp.ndarray,       # [B,T,Tc]
     remat: bool = False,
+    lm_at: Optional[jnp.ndarray] = None,  # [B] positions, or None for all
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Run the decoder stack; returns logits ``[B,T,V]`` and updated cache.
 
     ``remat=True`` rematerializes each layer on the backward pass — the
     reference's ``llava.gradient_checkpointing_enable()``
     (Policy_Dynam3D_VLN.py:129) — trading ~30% extra forward FLOPs for
-    O(1-layer) activation memory in training."""
+    O(1-layer) activation memory in training.
+
+    ``lm_at`` restricts the lm_head to one position per row (returns
+    ``[B,1,V]``): generation only reads the last valid prompt position, so
+    projecting all T positions onto the 32k vocab (~160 GFLOP + a ~100 MB
+    f32 logits round-trip at T=816) is wasted prefill work."""
     x = embeds
     ks, vs = [], []
     layer_fn = jax.checkpoint(_layer, static_argnums=(1,)) if remat else _layer
@@ -195,6 +201,9 @@ def forward(
         ks.append(k_l)
         vs.append(v_l)
     x = rms_norm(params["final_ln"], x, cfg.rms_eps)
+    if lm_at is not None:
+        B = x.shape[0]
+        x = x[jnp.arange(B)[:, None], lm_at[:, None]]       # [B,1,D]
     return _lm_head(params, x), KVCache(jnp.stack(ks), jnp.stack(vs))
 
 
@@ -425,10 +434,13 @@ def greedy_decode(
     positions = jnp.cumsum(attn_valid.astype(jnp.int32), axis=1) - 1
     positions = jnp.maximum(positions, 0)
     mask = prefill_mask(attn_valid, total)
-    logits, cache = forward(params, cfg, embeds, positions, cache, 0, mask)
-    # last valid position per row
+    # last valid position per row; lm_head runs ONLY there (the only prefill
+    # logits generation reads — saves the [T,V] projection + logits I/O)
     last = jnp.sum(attn_valid.astype(jnp.int32), axis=1) - 1
-    next_tok = jnp.argmax(logits[jnp.arange(B), last], axis=-1)
+    logits, cache = forward(
+        params, cfg, embeds, positions, cache, 0, mask, lm_at=last
+    )
+    next_tok = jnp.argmax(logits[:, 0], axis=-1)
 
     stop = cfg.end_token_id if stop_token is None else stop_token
     out0 = jnp.full((B, max_new_tokens), cfg.pad_token_id, jnp.int32)
