@@ -69,7 +69,12 @@ def main():
     ]
     only = os.environ.get("DYNAM3D_AB_ONLY")
     if only:
-        keep = set(only.split(",")) | {"unfused"}
+        # the unfused control rides along for the slope comparison unless
+        # explicitly dropped (DYNAM3D_AB_NO_CONTROL=1 — e.g. the B=4 batched
+        # chain, whose unfused control hit a >80-min compile-server stall)
+        keep = set(only.split(","))
+        if os.environ.get("DYNAM3D_AB_NO_CONTROL") != "1":
+            keep |= {"unfused"}
         configs = [c for c in configs if c[0] in keep]
     if B > 1:
         # split/layer cap at batch == 1 — at B > 1 they would silently
