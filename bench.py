@@ -239,6 +239,21 @@ def _phase_breakdown(runner, params, cfg, state, obs, hist, rep, B, steps=6):
     pf = jax.jit(prefill_only)
     triv = jax.jit(lambda x: x + 1.0)
 
+    # decode cost via the two-length generate slope: (t_long - t_short) /
+    # (n_long - n_short) cancels the prefill AND the dispatch RTT exactly,
+    # where the old generate-minus-prefill subtraction left tunnel-RTT jitter
+    # (two independent p50s) inside the decode number.
+    short_tok = max(new_tok // 2 - 2, 1)
+
+    def gen_short(p, ids, tv, mm, mv):
+        emb = llava_mod.splice_embeds(p["llava"], cfg.llava, ids, mm, splice)
+        av = jax.lax.dynamic_update_slice(tv, mv, (0, splice))
+        return llava_mod.generate(
+            p["llava"], cfg.llava, emb, av, max_new_tokens=short_tok
+        )
+
+    gs = jax.jit(gen_short)
+
     rgb, depth = rep(obs.rgb), rep(obs.depth)
     pos, hd = rep(obs.position), jnp.asarray(
         np.full((B,), obs.heading, np.float32)
@@ -250,6 +265,8 @@ def _phase_breakdown(runner, params, cfg, state, obs, hist, rep, B, steps=6):
     _sync(pf(params, ids, tvalid, out.mm_tokens, out.mm_valid))
     gen = runner._generate(params, ids, tvalid, out.mm_tokens, out.mm_valid)
     _sync(gen)
+    gen_s = gs(params, ids, tvalid, out.mm_tokens, out.mm_valid)
+    _sync(gen_s)
     _sync(triv(hd))
 
     def t(fn):
@@ -268,13 +285,21 @@ def _phase_breakdown(runner, params, cfg, state, obs, hist, rep, B, steps=6):
     generate_ms = t(
         lambda: runner._generate(params, ids, tvalid, out.mm_tokens, out.mm_valid)
     )
-    decode_ms = max(generate_ms - prefill_ms, 0.0)
+    generate_short_ms = t(
+        lambda: gs(params, ids, tvalid, out.mm_tokens, out.mm_valid)
+    )
 
     # tokens actually generated (random weights usually never emit stop)
     gen_np = np.asarray(gen)
     n_tok = int(
         np.max(np.sum(gen_np != p3.pad_token_id, axis=1).clip(min=1))
     )
+    gen_s_np = np.asarray(gen_s)
+    n_tok_s = int(
+        np.max(np.sum(gen_s_np != p3.pad_token_id, axis=1).clip(min=1))
+    )
+    slope = (generate_ms - generate_short_ms) / max(n_tok - n_tok_s, 1)
+    decode_ms = max(slope * n_tok, 0.0)
     n_valid = int(np.asarray(jnp.sum(tvalid)))
     n_params, dec_bytes = _llm_flops_bytes(params["llava"]["phi3"], cfg)
     T_total = int(ids.shape[1]) + new_tok

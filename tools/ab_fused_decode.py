@@ -123,7 +123,7 @@ def main():
         print(f"{name}: {slope:.3f} ms/token (slope {lo}->{hi})", flush=True)
 
     for name in tokens:
-        if name == "unfused":
+        if name == "unfused" or "unfused" not in tokens:
             continue
         n_diff = int((tokens[name] != tokens["unfused"]).sum())
         d = "EXACT" if n_diff == 0 else f"{n_diff} tokens differ"
