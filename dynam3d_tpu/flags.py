@@ -74,6 +74,19 @@ FUSED_RING_SLOTS: int = int(os.environ.get("DYNAM3D_FUSED_RING_SLOTS", "4"))
 #: block streams as one contiguous DMA instead of nblk-byte strided rows.
 INT4_BLOCK_MAJOR: bool = _on("DYNAM3D_INT4_BLOCK_MAJOR")
 
+#: Speculative greedy decode with n-gram prompt-lookup drafts
+#: (models/vlm/phi3.py::greedy_decode_spec).  Decode is HBM-bound (the
+#: weight stream IS the cost, ~3.5 ms/token at Phi-3-mini int4), so
+#: verifying K draft tokens in one pass costs ~one token's weight stream;
+#: with the templated VLN action vocabulary ("turn left N degree ...",
+#: "go forward ...", "stop.") the draft source (instruction + history +
+#: own output) hits often.  Greedy-exact: every emitted token is the
+#: argmax given exactly the accepted prefix.  B=1 serving only.
+SPEC_DECODE: bool = _on("DYNAM3D_SPEC_DECODE")
+
+#: Draft window K (tokens verified per pass, incl. the carried token).
+SPEC_DRAFT_LEN: int = int(os.environ.get("DYNAM3D_SPEC_K", "4"))
+
 #: W8A8 prefill: quantize activations per token (dynamic max-abs) and run
 #: prefill matmuls as int8 x int8 -> int32 on the MXU (2x the bf16 peak).
 #: Measured 1.9x the per-matmul rate at prefill shapes with ~0.9% median

@@ -121,7 +121,19 @@ def generate(
     embeds: jnp.ndarray,
     attn_valid: jnp.ndarray,
     max_new_tokens: Optional[int] = None,
+    lookup_ids: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
+    from dynam3d_tpu import flags
+
+    if flags.SPEC_DECODE and embeds.shape[0] == 1:
+        return phi3.greedy_decode_spec(
+            params["phi3"],
+            cfg.phi3,
+            embeds,
+            attn_valid,
+            max_new_tokens or cfg.max_new_tokens,
+            lookup_ids=lookup_ids,
+        )
     return phi3.greedy_decode(
         params["phi3"],
         cfg.phi3,

@@ -507,6 +507,149 @@ def greedy_decode(
     return out
 
 
+def _ngram_draft(
+    hist: jnp.ndarray,   # [Lh] int32 token history; entries < 0 never match
+    n_hist,              # int32 scalar: live entries (hist[n_hist-1] is last)
+    prev_tok,            # int32 scalar; < 0 -> unigram match on last_tok only
+    last_tok,            # int32 scalar
+    k: int,
+) -> jnp.ndarray:
+    """Prompt-lookup draft: the ``k-1`` tokens that followed the most
+    recent EARLIER occurrence of the bigram ``(prev_tok, last_tok)`` in
+    ``hist`` (unigram on ``last_tok`` when ``prev_tok < 0``); all ``-1``
+    (never-accepted sentinels) when no occurrence exists."""
+    Lh = hist.shape[0]
+    idx = jnp.arange(Lh - 1)
+    a0, a1 = hist[:-1], hist[1:]
+    before_tail = idx + 1 < n_hist - 1   # exclude the terminal occurrence
+    bi = (a0 == prev_tok) & (a1 == last_tok) & (a0 >= 0)
+    uni = a1 == last_tok
+    m = jnp.where(prev_tok >= 0, bi, uni) & (a1 >= 0) & before_tail
+    found = jnp.any(m)
+    p = jnp.max(jnp.where(m, idx, -1))
+    start = jnp.clip(p + 2, 0, Lh - (k - 1))
+    cont = jax.lax.dynamic_slice(hist, (start,), (k - 1,))
+    return jnp.where(found, cont, -1)
+
+
+def greedy_decode_spec(
+    params: Params,
+    cfg: Phi3Config,
+    embeds: jnp.ndarray,           # [1,T,D] prompt embeddings
+    attn_valid: jnp.ndarray,       # [1,T] bool
+    max_new_tokens: int,
+    stop_token: Optional[int] = None,
+    lookup_ids: Optional[jnp.ndarray] = None,   # [S] or [1,S]; -1 = skip
+    draft_len: Optional[int] = None,
+    return_stats: bool = False,
+) -> jnp.ndarray:
+    """Speculative greedy decode with n-gram prompt-lookup drafts.
+
+    Decode at Phi-3-mini int4 is HBM-bound — the ~1.9 GB weight stream IS
+    the per-token cost — so verifying ``k`` draft tokens in one forward
+    pass costs roughly ONE token's weight stream (the extra rows ride the
+    sublane-padded matvecs for free).  Drafts come from the most recent
+    earlier occurrence of the current bigram in (prompt text ids +
+    generated ids): the reference's action strings ("turn left 30 degree
+    and go forward 0.5 meter...", Policy_Dynam3D_VLN.py:472-506) repeat
+    the instruction/history vocabulary heavily, which is exactly the
+    regime where prompt-lookup drafting hits.
+
+    GREEDY-EXACT by construction: every emitted token is
+    ``argmax(logits | accepted prefix)`` — token j of a pass is accepted
+    only when the pass's own argmax at the previous position equals the
+    draft, so the emitted stream is identical to :func:`greedy_decode`
+    token-for-token (same forward path); rejected draft rows' cache
+    slots stay invalid and are rewritten by the next pass.
+
+    Matches the reference eval call ``llava.generate(max_new_tokens=20,
+    do_sample=False)`` (Policy_Dynam3D_VLN.py:463) — same contract as
+    :func:`greedy_decode`, returns ``[1, max_new_tokens]`` ids.
+    """
+    from dynam3d_tpu import flags as _flags
+
+    B, T, D = embeds.shape
+    assert B == 1, "speculative decode is a B=1 serving path"
+    k = int(draft_len or _flags.SPEC_DRAFT_LEN)
+    k = max(2, min(k, max_new_tokens, 8))
+    total = T + max_new_tokens + k
+    cache = init_cache(cfg, B, total, dtype=embeds.dtype)
+    positions = jnp.maximum(jnp.cumsum(attn_valid.astype(jnp.int32), 1) - 1, 0)
+    mask = prefill_mask(attn_valid, total)
+    last_idx = jnp.sum(attn_valid.astype(jnp.int32), axis=1) - 1
+    logits, cache = forward(
+        params, cfg, embeds, positions, cache, 0, mask, lm_at=last_idx
+    )
+    next_tok = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)   # [1]
+    stop = cfg.end_token_id if stop_token is None else stop_token
+
+    S = 0 if lookup_ids is None else int(math.prod(lookup_ids.shape))
+    Lh = S + max_new_tokens + k + 2
+    hist0 = jnp.full((Lh,), -1, jnp.int32)
+    if lookup_ids is not None:
+        hist0 = hist0.at[:S].set(lookup_ids.reshape(-1).astype(jnp.int32))
+    hist0 = hist0.at[S].set(next_tok[0])
+
+    n_pos0 = jnp.sum(attn_valid.astype(jnp.int32), axis=1)[0]
+    out0 = jnp.full((B, max_new_tokens), cfg.pad_token_id, jnp.int32)
+    out0 = out0.at[:, 0].set(next_tok)
+    done0 = next_tok[0] == stop
+    valid0 = jnp.concatenate(
+        [attn_valid, jnp.zeros((B, total - T), bool)], axis=1
+    )
+    t_iota = jnp.arange(total)
+    j_out = jnp.arange(max_new_tokens)
+    j_hist = jnp.arange(Lh)
+    kk = jnp.arange(k)
+
+    def cond(c):
+        return (c[0] < max_new_tokens) & ~c[6]
+
+    def body(c):
+        n_em, ckv, valid, out, hist, last, done, prev, npass = c
+        drf = _ngram_draft(hist, S + n_em, prev, last, k)
+        d = jnp.concatenate([last[None], drf])                    # [k]
+        e = embed(params, jnp.clip(d, 0))[None].astype(embeds.dtype)
+        pos0 = n_pos0 + n_em - 1
+        pos = (pos0 + kk)[None]                                   # [1,k]
+        wslot = T + n_em - 1
+        # row j additionally attends the in-flight draft slots 0..j
+        row_extra = (t_iota[None, :] >= wslot) & (
+            t_iota[None, :] <= wslot + kk[:, None]
+        )
+        m = valid[:, None, :] | row_extra[None]
+        logits2, cache2 = decode_forward(
+            params, cfg, e, pos, KVCache(*ckv), wslot, m
+        )
+        a = jnp.argmax(logits2[0], axis=-1).astype(jnp.int32)     # [k]
+        match = (d[1:] == a[:-1]).astype(jnp.int32)
+        acc = 1 + jnp.sum(jnp.cumprod(match))
+        stop_pos = jnp.min(jnp.where((a == stop) & (kk < acc), kk, k))
+        acc = jnp.minimum(jnp.minimum(acc, stop_pos + 1),
+                          max_new_tokens - n_em)
+        out = jnp.where(
+            ((j_out >= n_em) & (j_out < n_em + acc))[None, :],
+            a[jnp.clip(j_out - n_em, 0, k - 1)][None, :], out,
+        )
+        hist = jnp.where(
+            (j_hist >= S + n_em) & (j_hist < S + n_em + acc),
+            a[jnp.clip(j_hist - (S + n_em), 0, k - 1)], hist,
+        )
+        valid = valid | ((t_iota >= wslot) & (t_iota < wslot + acc))[None]
+        new_last = a[acc - 1]
+        new_prev = jnp.where(acc >= 2, a[acc - 2], last)
+        done = done | (stop_pos < acc)
+        return (n_em + acc, (cache2.k, cache2.v), valid, out, hist,
+                new_last, done, new_prev, npass + 1)
+
+    carry = (jnp.int32(1), (cache.k, cache.v), valid0, out0, hist0,
+             next_tok[0], done0, jnp.int32(-1), jnp.int32(0))
+    carry = jax.lax.while_loop(cond, body, carry)
+    if return_stats:
+        return carry[3], {"tokens": carry[0], "passes": carry[8]}
+    return carry[3]
+
+
 def _dense_init(key, d_in, d_out, std=0.02):
     return jax.random.normal(key, (d_in, d_out), jnp.float32) * std
 
