@@ -259,7 +259,7 @@ def generate_action_ids(
     lookup_ids = None
     if input_ids.shape[0] == 1:
         lookup_ids = jnp.where(
-            text_valid & (input_ids != cfg.llava.image_token_id),
+            text_valid & (input_ids != cfg.llava.phi3.image_token_id),
             input_ids, -1,
         )
     return llava_mod.generate(

@@ -406,6 +406,50 @@ def _decode_forward_fused(
     return _lm_head(params, x), KVCache(ck, cv)
 
 
+def _verify_forward_fused(
+    params: Params,
+    cfg: Phi3Config,
+    embeds: jnp.ndarray,          # [1,k,D] draft token embeddings
+    pos0,                         # int32: rope position of draft row 0
+    cache: KVCache,               # flat [L,1,Tmax,D]
+    wslot,                        # int32: cache slot of draft row 0
+    valid: jnp.ndarray,           # [1,Tmax] ACCEPTED slots only
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Speculative verify pass over the ring kernel's shared-cache mode:
+    the k draft rows share ONE weight stream and ONE cache stream per
+    layer (decode_layer_ring(shared_cache=True)); row r folds draft rows
+    0..r from registers.  Returns logits ``[1,k,V]`` + the cache with the
+    draft k/v written at ``wslot..wslot+k-1`` (the caller re-validates
+    only the accepted prefix)."""
+    from dynam3d_tpu.ops.pallas_decode import decode_layer_ring
+
+    B, k, D = embeds.shape
+    assert B == 1
+    half = cfg.head_dim // 2
+    freqs = cfg.rope_theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    ang = (pos0 + jnp.arange(k))[:, None].astype(jnp.float32) * freqs
+    cos, sin = jnp.cos(ang), jnp.sin(ang)                 # [k, half]
+    x = embeds[0][:, None, :]                             # [k,1,D] kernel rows
+    ck, cv = cache.k, cache.v
+    for li in range(cfg.num_layers):
+        p = params["layers"][li]
+        x, k_new, v_new = decode_layer_ring(
+            x, p["input_ln"], p["qkv"]["q4"], p["o"]["q4"],
+            p["post_ln"], p["gate_up"]["q4"], p["down"]["q4"],
+            ck, cv, li, wslot, valid, cos, sin,
+            eps=cfg.rms_eps, heads=cfg.num_heads, hd=cfg.head_dim,
+            ns=flags.FUSED_RING_SLOTS, shared_cache=True,
+        )
+        ck = jax.lax.dynamic_update_slice(
+            ck, k_new.reshape(1, 1, k, D), (li, 0, wslot, 0)
+        )
+        cv = jax.lax.dynamic_update_slice(
+            cv, v_new.reshape(1, 1, k, D), (li, 0, wslot, 0)
+        )
+    x = rms_norm(params["final_ln"], x.reshape(1, k, D), cfg.rms_eps)
+    return _lm_head(params, x), KVCache(ck, cv)
+
+
 def greedy_decode(
     params: Params,
     cfg: Phi3Config,
@@ -572,7 +616,15 @@ def greedy_decode_spec(
     assert B == 1, "speculative decode is a B=1 serving path"
     k = int(draft_len or _flags.SPEC_DRAFT_LEN)
     k = max(2, min(k, max_new_tokens, 8))
+    use_fused = _fused_decode_eligible(params, cfg, 1) and _ring_eligible(
+        params, cfg
+    )
     total = T + max_new_tokens + k
+    if use_fused:
+        from dynam3d_tpu.ops import pallas_decode
+
+        total = ((total + pallas_decode._ROWS - 1) // pallas_decode._ROWS
+                 ) * pallas_decode._ROWS
     cache = init_cache(cfg, B, total, dtype=embeds.dtype)
     positions = jnp.maximum(jnp.cumsum(attn_valid.astype(jnp.int32), 1) - 1, 0)
     mask = prefill_mask(attn_valid, total)
@@ -582,6 +634,12 @@ def greedy_decode_spec(
     )
     next_tok = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)   # [1]
     stop = cfg.end_token_id if stop_token is None else stop_token
+    if use_fused:
+        # flat [L,1,Tmax,D] row layout for the ring kernel's cache streams
+        L = cfg.num_layers
+        cache = KVCache(
+            cache.k.reshape(L, B, total, D), cache.v.reshape(L, B, total, D)
+        )
 
     S = 0 if lookup_ids is None else int(math.prod(lookup_ids.shape))
     Lh = S + max_new_tokens + k + 2
@@ -611,16 +669,21 @@ def greedy_decode_spec(
         d = jnp.concatenate([last[None], drf])                    # [k]
         e = embed(params, jnp.clip(d, 0))[None].astype(embeds.dtype)
         pos0 = n_pos0 + n_em - 1
-        pos = (pos0 + kk)[None]                                   # [1,k]
         wslot = T + n_em - 1
-        # row j additionally attends the in-flight draft slots 0..j
-        row_extra = (t_iota[None, :] >= wslot) & (
-            t_iota[None, :] <= wslot + kk[:, None]
-        )
-        m = valid[:, None, :] | row_extra[None]
-        logits2, cache2 = decode_forward(
-            params, cfg, e, pos, KVCache(*ckv), wslot, m
-        )
+        if use_fused:
+            logits2, cache2 = _verify_forward_fused(
+                params, cfg, e, pos0, KVCache(*ckv), wslot, valid
+            )
+        else:
+            pos = (pos0 + kk)[None]                               # [1,k]
+            # row j additionally attends the in-flight draft slots 0..j
+            row_extra = (t_iota[None, :] >= wslot) & (
+                t_iota[None, :] <= wslot + kk[:, None]
+            )
+            m = valid[:, None, :] | row_extra[None]
+            logits2, cache2 = decode_forward(
+                params, cfg, e, pos, KVCache(*ckv), wslot, m
+            )
         a = jnp.argmax(logits2[0], axis=-1).astype(jnp.int32)     # [k]
         match = (d[1:] == a[:-1]).astype(jnp.int32)
         acc = 1 + jnp.sum(jnp.cumprod(match))

@@ -159,13 +159,12 @@ def _attn_block_update(q, kb, vb, mb, m, l, acc, seg, segt, scale):
     return m_new, l_new, acc * alpha_lanes + contrib
 
 
-def _attn_fold_current(q, k_new, v_new, m, l, acc, seg, segt, scale):
-    """Fold the current token's k/v into the online softmax from registers
-    (it never round-trips through HBM) and normalize; returns the bf16
-    ``[1, D]`` attention context.  Shared by all decode kernels."""
+def _attn_fold_one(q, k1, v1, m, l, acc, seg, segt, scale):
+    """Fold ONE in-register token's k/v into a row's online softmax carry
+    ``(m [1,H], l [1,H], acc [1,D])`` — no normalization."""
     cur = (
         jnp.dot(
-            (k_new * q).astype(jnp.bfloat16), seg,
+            (k1 * q).astype(jnp.bfloat16), seg,
             preferred_element_type=jnp.float32,
         )
         * scale
@@ -180,12 +179,65 @@ def _attn_fold_current(q, k_new, v_new, m, l, acc, seg, segt, scale):
     p_lanes = jnp.dot(
         p_cur.astype(jnp.bfloat16), segt, preferred_element_type=jnp.float32
     )
-    acc = acc * alpha_lanes + p_lanes * v_new.astype(jnp.float32)
+    acc = acc * alpha_lanes + p_lanes * v1.astype(jnp.float32)
+    return m_new, l, acc
+
+
+def _attn_normalize(l, acc, segt):
+    """Divide the lane-layout accumulator by the per-head denominator."""
     l_lanes = jnp.dot(
         l.astype(jnp.float32), segt.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     )
     return (acc / jnp.maximum(l_lanes, 1e-30)).astype(jnp.bfloat16)
+
+
+def _attn_fold_current(q, k_new, v_new, m, l, acc, seg, segt, scale):
+    """Fold the current token's k/v into the online softmax from registers
+    (it never round-trips through HBM) and normalize; returns the bf16
+    ``[1, D]`` attention context.  Shared by all decode kernels."""
+    m, l, acc = _attn_fold_one(q, k_new, v_new, m, l, acc, seg, segt, scale)
+    return _attn_normalize(l, acc, segt)
+
+
+def _attn_block_update_shared(
+    q_seg, kb, vb, mb, m, l, abuf, segt, scale, rows, heads
+):
+    """Online-softmax update over one ``[_ROWS, D]`` KV block for ALL
+    ``rows`` query rows AT ONCE (the speculative-verify path: every row
+    attends the SAME cache, so re-streaming it per row would multiply the
+    KV bytes by ``rows``).
+
+    ``q_seg [D, rows*H]`` packs each row's per-head query into its own
+    column group, so the block's logits for every (row, head) pair come
+    out of ONE MXU dot ``kb @ q_seg``; ``m``/``l`` carry ``[1, rows*H]``
+    and the f32 context accumulators live in the ``abuf [_BP, D]``
+    scratch (combined per row with the ``segt`` head mask)."""
+    logits = (
+        jnp.dot(kb, q_seg, preferred_element_type=jnp.float32) * scale
+    )                                                 # [_ROWS, rows*H]
+    logits = logits + (mb - 1.0) * (-_NEG)            # mb [_ROWS,1] broadcast
+    m_blk = jnp.max(logits, axis=0, keepdims=True)
+    m_new = jnp.maximum(m, m_blk)
+    alpha = jnp.exp(m - m_new)                        # [1, rows*H]
+    p = jnp.exp(logits - m_new)
+    l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
+    C = jax.lax.dot_general(
+        p.astype(jnp.bfloat16), vb,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                 # [rows*H, D]
+    segtf = segt.astype(jnp.float32)
+    for r in range(rows):
+        contrib = jnp.sum(
+            C[r * heads : (r + 1) * heads] * segtf, axis=0, keepdims=True
+        )
+        a_r = jnp.dot(
+            alpha[:, r * heads : (r + 1) * heads].astype(jnp.bfloat16),
+            segt, preferred_element_type=jnp.float32,
+        )
+        abuf[r : r + 1, :] = abuf[r : r + 1, :] * a_r + contrib
+    return m_new, l_new
 
 
 def _decode_attn_kernel(
@@ -830,15 +882,16 @@ def _decode_ring_kernel(
     dn_q4, dn_sl, dn_sh,
     kc_ref, vc_ref,
     mask_ref, cosv_ref, slo_ref, shi_ref, seg_ref, segt_ref,
+    e_ref, stile_ref,            # shared-cache mode only ([1,1] dummies else)
     out_ref, knew_ref, vnew_ref,
-    hbuf, ybuf, cbuf, o1buf, h2buf, ydbuf,
+    hbuf, ybuf, cbuf, o1buf, h2buf, ydbuf, abuf,
     wbuf, wsem,                  # [NS, D, nblk] int8 ring + sems (qkv|o|gu)
     dbuf, dsem,                  # [2, IP, nblk] int8 ring + sems (down)
     kbuf, vbuf, ksem, vsem,
     *,
     eps: float, heads: int, hd: int, dblk: int, nblk: int, tmax: int,
     n_qkv: int, n_o: int, n_gu: int, n_dn: int, ns: int, blocked: bool,
-    rows: int,
+    rows: int, shared: bool,
 ):
     """One program per decode layer with a hand-scheduled DMA pipeline.
 
@@ -997,9 +1050,59 @@ def _decode_ring_kernel(
     segt = segt_ref[:]
     cbuf[:] = jnp.zeros((cbuf.shape[0], D), jnp.bfloat16)
 
+    if shared:
+        # speculative-verify attention: all rows are CONSECUTIVE draft
+        # tokens of the SAME sequence — stream the (one) cache once with
+        # the all-rows block update, then fold the in-register draft
+        # k/v causally (row r attends drafts 0..r, itself included)
+        # full _BP*H width even when rows < _BP: dead rows' q is zero and
+        # their columns are never combined; slicing to rows*H would break
+        # lane alignment at rows not a multiple of 4
+        rh = _BP * heads
+        q_seg = jax.lax.dot_general(
+            q_all, e_ref[:],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                               # [D, _BP*H]
+        q_seg = (q_seg * stile_ref[:]).astype(jnp.bfloat16)
+        abuf[:] = jnp.zeros((abuf.shape[0], D), jnp.float32)
+        nlive = nlive_of(0)
+
+        def attn_block_sh(tb, carry):
+            slot = jax.lax.rem(tb, 2)
+
+            @pl.when((tb + 1 < nlive) & (tb + 1 >= 2))
+            def _():
+                k, v = kv_dma(0, jax.lax.rem(tb + 1, 2), tb + 1)
+                k.start(); v.start()
+
+            k, v = kv_dma(0, slot, tb)
+            k.wait(); v.wait()
+            mb = mask_ref[pl.ds(tb * _ROWS, _ROWS), 0:1]
+            m, l = _attn_block_update_shared(
+                q_seg, kbuf[slot], vbuf[slot], mb, *carry,
+                abuf, segt, scale, rows, heads,
+            )
+            return m, l
+
+        m0 = jnp.full((1, rh), _NEG, jnp.float32)
+        l0 = jnp.zeros((1, rh), jnp.float32)
+        m, l = jax.lax.fori_loop(0, nlive, attn_block_sh, (m0, l0))
+        for r in range(rows):
+            q_r = q_all[r : r + 1]
+            m_r = m[:, r * heads : (r + 1) * heads]
+            l_r = l[:, r * heads : (r + 1) * heads]
+            acc_r = abuf[r : r + 1, :]
+            for j in range(r + 1):
+                m_r, l_r, acc_r = _attn_fold_one(
+                    q_r, k_all[j : j + 1], v_all[j : j + 1],
+                    m_r, l_r, acc_r, seg, segt, scale,
+                )
+            cbuf[r : r + 1, :] = _attn_normalize(l_r, acc_r, segt)
+
     # per-row attention, sequential over the (static) batch rows; the
     # weight ring keeps streaming o/gate_up blocks underneath
-    for b in range(rows):
+    for b in range(rows if not shared else 0):
         q = q_all[b : b + 1]
         k_new = k_all[b : b + 1]
         v_new = v_all[b : b + 1]
@@ -1122,7 +1225,8 @@ def _decode_ring_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("eps", "heads", "hd", "ns", "interpret")
+    jax.jit,
+    static_argnames=("eps", "heads", "hd", "ns", "shared_cache", "interpret"),
 )
 def decode_layer_ring(
     x: jnp.ndarray,          # [B, 1, D] bf16 (T=1, B <= _BP)
@@ -1144,6 +1248,7 @@ def decode_layer_ring(
     heads: int,
     hd: int,
     ns: int = 4,
+    shared_cache: bool = False,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Whole decode layer with the manual ``ns``-slot DMA ring
@@ -1151,11 +1256,17 @@ def decode_layer_ring(
     generalized to ``B <= 8`` batch rows (multi-episode serving): the
     weight streams are shared across rows for free, each row attends over
     its own cache with its own position/mask/rope.  Returns
-    ``(x_out [B,1,D], k_new [B,D], v_new [B,D])``."""
+    ``(x_out [B,1,D], k_new [B,D], v_new [B,D])``.
+
+    ``shared_cache=True`` is the speculative-verify mode: the B rows are
+    CONSECUTIVE draft tokens of one sequence — all rows attend cache row
+    0 (streamed ONCE, all-rows block updates on the MXU) and row r
+    additionally folds draft rows 0..r from registers, so one pass
+    verifies B tokens for one weight stream (greedy_decode_spec)."""
     B = x.shape[0]
     D = x.shape[-1]
     assert 1 <= B <= _BP, B
-    assert cache_k.shape[1] >= B
+    assert cache_k.shape[1] >= (1 if shared_cache else B)
     tmax = cache_k.shape[2]
     assert tmax % _ROWS == 0
     assert qkv.n == 3 * D and qkv.d == D and o.d == D and o.n == D
@@ -1206,11 +1317,23 @@ def decode_layer_ring(
         pos_arr = jnp.broadcast_to(pos_arr, (B,))
     pos_arr = jnp.pad(pos_arr, (0, _BP - B))             # dead rows: pos 0
 
+    # shared-cache constants: E packs each row's q into its own column
+    # group (q_seg = q_all^T E), seg_tiled masks each group to its head
+    if shared_cache:
+        e_np = np.zeros((_BP, _BP * heads), np.float32)
+        for r in range(_BP):
+            e_np[r, r * heads : (r + 1) * heads] = 1.0
+        e_const = jnp.asarray(e_np, jnp.bfloat16)
+        stile = jnp.tile(seg.astype(jnp.float32), (1, _BP))   # [D, _BP*H]
+    else:
+        e_const = jnp.zeros((1, 1), jnp.bfloat16)
+        stile = jnp.zeros((1, 1), jnp.float32)
+
     kernel = functools.partial(
         _decode_ring_kernel,
         eps=eps, heads=heads, hd=hd, dblk=dblk, nblk=nblk, tmax=tmax,
         n_qkv=n_qkv, n_o=n_o, n_gu=n_gu, n_dn=n_dn, ns=ns,
-        blocked=qkv.blocked, rows=B,
+        blocked=qkv.blocked, rows=B, shared=shared_cache,
     )
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pl.ANY)
@@ -1226,6 +1349,7 @@ def decode_layer_ring(
             hbm, vm, vm,              # down
             hbm, hbm,                 # caches
             vm, vm, vm, vm, vm, vm,   # mask, rope x3, seg, segt
+            vm, vm,                   # E, seg_tiled (shared-cache mode)
         ],
         out_specs=[vm, vm, vm],
         scratch_shapes=[
@@ -1235,6 +1359,7 @@ def decode_layer_ring(
             pltpu.VMEM((_BP, D), jnp.float32),            # o1buf
             pltpu.VMEM((_BP, ip), jnp.bfloat16),          # h2buf
             pltpu.VMEM((_BP, D), jnp.float32),            # ydbuf
+            pltpu.VMEM((_BP, D), jnp.float32),            # abuf
             pltpu.VMEM((ns, D, nblk), jnp.int8),          # D-row ring
             pltpu.SemaphoreType.DMA((ns,)),
             pltpu.VMEM((2, ip, nblk), jnp.int8),          # down ring
@@ -1272,6 +1397,8 @@ def decode_layer_ring(
         cosv, slo, shi,
         seg,
         seg.T,
+        e_const,
+        stile,
     )
     return (
         out[:B].reshape(B, 1, D),

@@ -129,6 +129,133 @@ def test_spec_short_budget_clamps():
         np.testing.assert_array_equal(got, ref)
 
 
+def _quantized_eligible(cfg, seed=0):
+    """Params quantized + repacked so the ring kernel (and therefore the
+    shared-cache verify mode) is structurally eligible at tiny dims."""
+    from dynam3d_tpu.ops.pallas_int4 import pack_int4
+
+    params = phi3.init_phi3_params(jax.random.PRNGKey(seed), cfg)
+    qparams = phi3.quantize_phi3(params, bits=4)
+    for li in range(cfg.num_layers):
+        lp = params["layers"][li]
+        qlp = qparams["layers"][li]
+        for name in ("qkv", "o", "gate_up", "down"):
+            qlp[name]["q4"] = pack_int4(
+                lp[name].astype(jnp.float32), dblk=64, nblk=64
+            )
+    return qparams
+
+
+def _interpret_ring(monkeypatch):
+    import functools
+
+    from dynam3d_tpu import flags
+    from dynam3d_tpu.ops import pallas_decode
+
+    monkeypatch.setattr(
+        pallas_decode, "decode_layer_ring",
+        functools.partial(
+            pallas_decode.decode_layer_ring.__wrapped__, interpret=True
+        ),
+    )
+    monkeypatch.setattr(flags, "FUSED_DECODE_ATTN", True)
+    monkeypatch.setattr(flags, "FUSED_DECODE_RING", True)
+    # eligibility checks jax.default_backend() == "tpu"; bypass for the
+    # interpret-mode run
+    monkeypatch.setattr(
+        phi3, "_fused_decode_eligible",
+        lambda p, c, b: phi3._ring_eligible(p, c),
+    )
+
+
+def test_verify_forward_fused_matches_xla(monkeypatch):
+    """The shared-cache ring verify pass == decode_forward with the
+    per-row causal mask: logits close, argmax equal, cache rows equal."""
+    cfg = _cfg()
+    qparams = _quantized_eligible(cfg)
+    _interpret_ring(monkeypatch)
+    rng = np.random.default_rng(11)
+
+    T, total, k = 24, 512, 4   # total must be a _ROWS multiple
+    D = cfg.hidden_size
+    embeds, av = _prompt(cfg, 11, T=T)
+    cache = phi3.init_cache(cfg, 1, total, dtype=jnp.bfloat16)
+    positions = jnp.maximum(jnp.cumsum(av.astype(jnp.int32), 1) - 1, 0)
+    mask = phi3.prefill_mask(av, total)
+    _, cache = phi3.forward(qparams, cfg, embeds, positions, cache, 0, mask)
+
+    valid = np.zeros((1, total), bool)
+    valid[0, :T] = np.asarray(av)[0]
+    valid = jnp.asarray(valid)
+    n_pos0 = int(np.asarray(av).sum())
+    e = jnp.asarray(rng.normal(scale=0.5, size=(1, k, D)), jnp.bfloat16)
+
+    # XLA reference: decode_forward with the row-causal mask
+    kk = jnp.arange(k)
+    t_iota = jnp.arange(total)
+    row_extra = (t_iota[None] >= T) & (t_iota[None] <= T + kk[:, None])
+    m = valid[:, None, :] | row_extra[None]
+    pos = (n_pos0 + kk)[None]
+    lg_ref, c_ref = phi3.decode_forward(
+        qparams, cfg, e, pos, cache, T, m
+    )
+
+    flat = phi3.KVCache(
+        cache.k.reshape(cfg.num_layers, 1, total, D),
+        cache.v.reshape(cfg.num_layers, 1, total, D),
+    )
+    lg_f, c_f = phi3._verify_forward_fused(
+        qparams, cfg, e, n_pos0, flat, T, valid
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(lg_f, np.float32), np.asarray(lg_ref, np.float32),
+        rtol=5e-2, atol=5e-2,
+    )
+    np.testing.assert_array_equal(
+        np.argmax(np.asarray(lg_f[0]), -1), np.argmax(np.asarray(lg_ref[0]), -1)
+    )
+    np.testing.assert_allclose(
+        np.asarray(c_f.k[:, 0, T : T + k], np.float32),
+        np.asarray(c_ref.k[:, 0, T : T + k], np.float32).reshape(
+            cfg.num_layers, k, D),
+        rtol=3e-2, atol=3e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(c_f.v[:, 0, T : T + k], np.float32),
+        np.asarray(c_ref.v[:, 0, T : T + k], np.float32).reshape(
+            cfg.num_layers, k, D),
+        rtol=3e-2, atol=3e-2,
+    )
+
+
+def test_spec_fused_e2e_self_consistent(monkeypatch):
+    """greedy_decode_spec over the fused shared-cache verify kernel: runs
+    end-to-end, and planting its OWN output as lookup reproduces the
+    stream exactly with fewer passes than tokens (acceptance works)."""
+    cfg = _cfg()
+    qparams = _quantized_eligible(cfg, seed=4)
+    _interpret_ring(monkeypatch)
+    embeds, valid = _prompt(cfg, 4)
+    n = 12
+
+    out1, st1 = phi3.greedy_decode_spec(
+        qparams, cfg, embeds, valid, n, stop_token=-1, return_stats=True
+    )
+    out1 = np.asarray(out1)
+    assert out1.shape == (1, n)
+    assert int(st1["tokens"]) == n
+
+    lk = np.full((n + 8,), -1, np.int32)
+    lk[2 : 2 + n] = out1[0]
+    out2, st2 = phi3.greedy_decode_spec(
+        qparams, cfg, embeds, valid, n, stop_token=-1,
+        lookup_ids=jnp.asarray(lk), return_stats=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out2), out1)
+    assert int(st2["passes"]) < int(st2["tokens"])
+
+
 def test_ngram_draft_lookup():
     """Unit: bigram hit returns the continuation; terminal occurrence and
     -1 holes never match; unigram fallback when prev < 0."""
