@@ -87,6 +87,15 @@ SPEC_DECODE: bool = _on("DYNAM3D_SPEC_DECODE")
 #: Draft window K (tokens verified per pass, incl. the carried token).
 SPEC_DRAFT_LEN: int = int(os.environ.get("DYNAM3D_SPEC_K", "4"))
 
+#: MEASUREMENT MODE ONLY: treat every draft as accepted, so an e2e spec
+#: run times the full-acceptance (alpha=1) machinery throughput — the
+#: compute path is identical, only the accept decision is overridden
+#: (emitted tokens are then the drafts, i.e. garbage).  Random weights
+#: give near-uniform logits where bf16 accumulation noise flips argmax
+#: between passes, so real acceptance cannot be demonstrated without
+#: trained weights; this brackets it instead (tools/ab_spec_decode.py).
+SPEC_FORCE_ACCEPT: bool = _on("DYNAM3D_SPEC_FORCE_ACCEPT")
+
 #: W8A8 prefill: quantize activations per token (dynamic max-abs) and run
 #: prefill matmuls as int8 x int8 -> int32 on the MXU (2x the bf16 peak).
 #: Measured 1.9x the per-matmul rate at prefill shapes with ~0.9% median

@@ -685,7 +685,10 @@ def greedy_decode_spec(
                 params, cfg, e, pos, KVCache(*ckv), wslot, m
             )
         a = jnp.argmax(logits2[0], axis=-1).astype(jnp.int32)     # [k]
-        match = (d[1:] == a[:-1]).astype(jnp.int32)
+        if _flags.SPEC_FORCE_ACCEPT:   # timing-only mode; see flags.py
+            match = jnp.ones((k - 1,), jnp.int32)
+        else:
+            match = (d[1:] == a[:-1]).astype(jnp.int32)
         acc = 1 + jnp.sum(jnp.cumprod(match))
         stop_pos = jnp.min(jnp.where((a == stop) & (kk < acc), kk, k))
         acc = jnp.minimum(jnp.minimum(acc, stop_pos + 1),

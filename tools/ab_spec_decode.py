@@ -104,13 +104,22 @@ def main():
               flush=True)
 
     # ---- 2. e2e spec vs plain greedy ----
+    from dynam3d_tpu import flags as _flags
+
     lens = [20, 120]
     outs = {}
-    for name in ("plain", "spec_planted", "spec_nolookup"):
+    for name in ("plain", "spec_planted", "spec_nolookup", "spec_forced"):
         per = {}
         for n in lens:
             if name == "plain":
                 fn = jax.jit(lambda p, e, v, n=n: phi3.greedy_decode(
+                    p, cfg, e, v, n, stop_token=-1))
+                args = (params, embeds, valid)
+            elif name == "spec_forced":
+                # alpha=1 machinery throughput (flags.SPEC_FORCE_ACCEPT):
+                # same compute path, accept decision overridden
+                _flags.SPEC_FORCE_ACCEPT = True
+                fn = jax.jit(lambda p, e, v, n=n: phi3.greedy_decode_spec(
                     p, cfg, e, v, n, stop_token=-1))
                 args = (params, embeds, valid)
             elif name == "spec_nolookup":
@@ -144,6 +153,7 @@ def main():
             print(f"{name}: {(per[hi] - per[lo]) / (hi - lo):.3f} ms/token "
                   f"(slope {lo}->{hi})", flush=True)
 
+    _flags.SPEC_FORCE_ACCEPT = False
     for n in lens:
         for name in ("spec_planted", "spec_nolookup"):
             if (name, n) in outs:
