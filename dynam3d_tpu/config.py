@@ -51,6 +51,14 @@ class FieldsConfig:
     max_members: int = 4096         # patch-members cap for instance re-aggregation
     max_zone_members: int = 256     # instance-members cap per zone re-aggregation
 
+    #: Matmul dtype for the patch->instance / instance->zone aggregation
+    #: encoders.  "bf16" matches the reference's fp16-autocast training
+    #: regime (ss_trainer_Dynam3D.py:323, ss_trainer_3DFF.py:501) and runs
+    #: the [S, max_members] re-aggregation attention — the single biggest
+    #: perceive cost — on the MXU's fast path; golden parity tests pin
+    #: "f32" to compare bit-closely against the fp32 reference run.
+    encoder_dtype: str = "bf16"
+
     # --- renderer (pretrain feature fields; src_3dff feature_fields.py:48-76) ---
     near: float = 0.0
     far: float = 10.0

@@ -85,7 +85,11 @@ INT4_BLOCK_MAJOR: bool = _on("DYNAM3D_INT4_BLOCK_MAJOR")
 SPEC_DECODE: bool = _on("DYNAM3D_SPEC_DECODE")
 
 #: Draft window K (tokens verified per pass, incl. the carried token).
-SPEC_DRAFT_LEN: int = int(os.environ.get("DYNAM3D_SPEC_K", "4"))
+#: Pass cost is ~flat in K (the weight stream dominates: 4.28/5.14/5.30
+#: ms at K=1/4/8 on the XLA path), so the largest window the kernel
+#: supports (8 sublane rows) amortizes best: alpha=1 measures 0.535
+#: ms/token at K=8 vs 0.97 at K=4 (docs/BENCH_NOTES.md).
+SPEC_DRAFT_LEN: int = int(os.environ.get("DYNAM3D_SPEC_K", "8"))
 
 #: MEASUREMENT MODE ONLY: treat every draft as accepted, so an e2e spec
 #: run times the full-acceptance (alpha=1) machinery throughput — the

@@ -182,12 +182,20 @@ def update_view(
     seg_active = counts > 0
     emb_in = _patch_pos_embedding_input(ppos, centers[segm], pdir, pscale)
     patch_tokens = grid_fts.astype(jnp.float32) + mlp2(params["patch_pos_mlp"], emb_in)
+    # aggregation-encoder matmul dtype: bf16 is the reference's AMP regime
+    # and carries the [S, 1+max_members] re-aggregation attention (the
+    # single biggest perceive cost, ~18 ms f32 at full dims) on the MXU's
+    # fast path; accumulations stay f32 (ops/transformer._dense)
+    enc_dt = jnp.bfloat16 if cfg.encoder_dtype == "bf16" else jnp.float32
     agg = jnp.tile(params["p2i_agg_token"], (S, 1))        # [S,D]
     tokens = jnp.concatenate([agg, patch_tokens], axis=0)  # [S+HW,D]
     group = jnp.concatenate([jnp.arange(S, dtype=segm.dtype), segm])
     block_mask = group[:, None] == group[None, :]
-    out = encoder_stack(params["p2i_encoder"], tokens, heads, attn_mask=block_mask)
-    seg_fts = out[:S]                                       # [S,D]
+    out = encoder_stack(
+        params["p2i_encoder"], tokens.astype(enc_dt), heads,
+        attn_mask=block_mask,
+    )
+    seg_fts = out[:S].astype(jnp.float32)                   # [S,D]
 
     # ---- 4. merge proposals against the PRE-view instance table ----
     sq_d, inds = knn_brute(centers, state.inst_pos, state.inst_valid, K)
@@ -257,8 +265,11 @@ def update_view(
     magg = jnp.broadcast_to(params["p2i_agg_token"], (M, 1, D))
     mtokens = jnp.concatenate([magg, mtokens], axis=1)       # [M,1+Tm,D]
     kp = jnp.concatenate([jnp.ones((M, 1), bool), mvalid], axis=1)
-    mout = encoder_stack(params["p2i_encoder"], mtokens, heads, key_padding_mask=kp)
-    merged_fts = mout[:, 0]                                  # [M,D]
+    mout = encoder_stack(
+        params["p2i_encoder"], mtokens.astype(enc_dt), heads,
+        key_padding_mask=kp,
+    )
+    merged_fts = mout[:, 0].astype(jnp.float32)              # [M,D]
     mwrite = jnp.where(merge_fill, merge_ids, cfg.instance_capacity)
     inst_pos = inst_pos.at[mwrite].set(new_center, mode="drop")
     inst_fts = inst_fts.at[mwrite].set(merged_fts.astype(inst_fts.dtype), mode="drop")
@@ -317,8 +328,11 @@ def update_view(
     zagg = jnp.broadcast_to(params["i2z_agg_token"], (S, 1, D))
     ztokens = jnp.concatenate([zagg, ztokens], axis=1)
     zkp = jnp.concatenate([jnp.ones((S, 1), bool), zvalid_m], axis=1)
-    zout = encoder_stack(params["i2z_encoder"], ztokens, heads, key_padding_mask=zkp)
-    zfts_new = zout[:, 0]
+    zout = encoder_stack(
+        params["i2z_encoder"], ztokens.astype(enc_dt), heads,
+        key_padding_mask=zkp,
+    )
+    zfts_new = zout[:, 0].astype(jnp.float32)
 
     do_write = cell_real & has_members
     zwrite = jnp.where(do_write, zid, cfg.zone_capacity)

@@ -667,24 +667,55 @@ def greedy_decode_spec(
         n_em, ckv, valid, out, hist, last, done, prev, npass = c
         drf = _ngram_draft(hist, S + n_em, prev, last, k)
         d = jnp.concatenate([last[None], drf])                    # [k]
-        e = embed(params, jnp.clip(d, 0))[None].astype(embeds.dtype)
         pos0 = n_pos0 + n_em - 1
         wslot = T + n_em - 1
-        if use_fused:
-            logits2, cache2 = _verify_forward_fused(
-                params, cfg, e, pos0, KVCache(*ckv), wslot, valid
+
+        def verify_branch(args):
+            ckv, valid = args
+            e = embed(params, jnp.clip(d, 0))[None].astype(embeds.dtype)
+            if use_fused:
+                lg, c2 = _verify_forward_fused(
+                    params, cfg, e, pos0, KVCache(*ckv), wslot, valid
+                )
+            else:
+                pos = (pos0 + kk)[None]                           # [1,k]
+                # row j additionally attends in-flight draft slots 0..j
+                row_extra = (t_iota[None, :] >= wslot) & (
+                    t_iota[None, :] <= wslot + kk[:, None]
+                )
+                m = valid[:, None, :] | row_extra[None]
+                lg, c2 = decode_forward(
+                    params, cfg, e, pos, KVCache(*ckv), wslot, m
+                )
+            return jnp.argmax(lg[0], -1).astype(jnp.int32), (c2.k, c2.v)
+
+        def plain_branch(args):
+            # no draft found: a verify pass could accept at most 1 token
+            # anyway, so run a plain 1-token step — the all-miss regime
+            # then costs the SAME as non-speculative decode
+            ckv, valid = args
+            e1 = embed(params, jnp.clip(d[:1], 0))[None].astype(embeds.dtype)
+            if use_fused:
+                lg, c2 = _decode_forward_fused(
+                    params, cfg, e1, pos0.reshape(1, 1), KVCache(*ckv),
+                    wslot, valid,
+                )
+            else:
+                m1 = (valid | (t_iota == wslot)[None])[:, None, :]
+                lg, c2 = decode_forward(
+                    params, cfg, e1, pos0.reshape(1, 1), KVCache(*ckv),
+                    wslot, m1,
+                )
+            a0 = jnp.argmax(lg[0], -1).astype(jnp.int32)          # [1]
+            a = jnp.concatenate(
+                [a0, jnp.full((k - 1,), -2, jnp.int32)]           # -2: never
             )
-        else:
-            pos = (pos0 + kk)[None]                               # [1,k]
-            # row j additionally attends the in-flight draft slots 0..j
-            row_extra = (t_iota[None, :] >= wslot) & (
-                t_iota[None, :] <= wslot + kk[:, None]
-            )
-            m = valid[:, None, :] | row_extra[None]
-            logits2, cache2 = decode_forward(
-                params, cfg, e, pos, KVCache(*ckv), wslot, m
-            )
-        a = jnp.argmax(logits2[0], axis=-1).astype(jnp.int32)     # [k]
+            return a, (c2.k, c2.v)
+
+        found = jnp.any(drf >= 0) | jnp.bool_(_flags.SPEC_FORCE_ACCEPT)
+        a, ckv2 = jax.lax.cond(
+            found, verify_branch, plain_branch, (ckv, valid)
+        )
         if _flags.SPEC_FORCE_ACCEPT:   # timing-only mode; see flags.py
             match = jnp.ones((k - 1,), jnp.int32)
         else:
@@ -705,7 +736,7 @@ def greedy_decode_spec(
         new_last = a[acc - 1]
         new_prev = jnp.where(acc >= 2, a[acc - 2], last)
         done = done | (stop_pos < acc)
-        return (n_em + acc, (cache2.k, cache2.v), valid, out, hist,
+        return (n_em + acc, ckv2, valid, out, hist,
                 new_last, done, new_prev, npass + 1)
 
     carry = (jnp.int32(1), (cache.k, cache.v), valid0, out0, hist0,

@@ -22,7 +22,12 @@ Params = Dict[str, Any]
 
 
 def _dense(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+    w = p["w"]
+    if x.dtype == jnp.bfloat16 and w.dtype == jnp.float32:
+        # a mixed bf16 x f32 dot promotes to f32 and misses the MXU's fast
+        # path; casting the weight keeps the matmul bf16 with f32 accumulation
+        w = w.astype(jnp.bfloat16)
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     return (y + p["b"]).astype(x.dtype)
 
 

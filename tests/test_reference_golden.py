@@ -359,6 +359,7 @@ def test_update_matches_actual_reference_code(monkeypatch):
         input_height=H, input_width=W, fts_dim=D,
         patch_capacity=256, instance_capacity=64, zone_capacity=32,
         max_segments=8, max_members=64, max_zone_members=16,
+        encoder_dtype="f32",   # bit-close comparison vs the fp32 reference
     )
     params = field_params_from_torch(ff.state_dict())
 
@@ -496,6 +497,7 @@ def test_delete_reinsert_cycle_matches_actual_reference(monkeypatch):
         input_height=H, input_width=W, fts_dim=D,
         patch_capacity=256, instance_capacity=64, zone_capacity=32,
         max_segments=8, max_members=64, max_zone_members=16,
+        encoder_dtype="f32",   # bit-close comparison vs the fp32 reference
     )
     params = field_params_from_torch(ff.state_dict())
     rng = np.random.default_rng(7)

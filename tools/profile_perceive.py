@@ -77,19 +77,73 @@ def main():
         )
 
     def full(p, st, rgb, depth, pos, hd):
-        return policy_mod.perceive(p, cfg, st, rgb, depth, pos, hd).mm_valid
+        # return the WHOLE struct: selecting one field inside jit lets XLA
+        # dead-code-eliminate most of the program (the round-2/3
+        # "perceive net ~11 ms" figure was exactly that artifact — the
+        # bench's phase breakdown, which syncs on the full output, read
+        # ~50 ms net for the same program)
+        return policy_mod.perceive(p, cfg, st, rgb, depth, pos, hd)
 
     def no_seg_update(p, st, rgb, depth, pos, hd):
-        # perceive minus segmentation/update: encoders + env tokens only
-        out = policy_mod.perceive(
+        return policy_mod.perceive(
             p, cfg, st, rgb, depth, pos, hd, delete_old=False
         )
-        return out.mm_valid
+
+    # --- isolated update + env-token stages (full values) ---
+    from dynam3d_tpu.models.memory3d.query import environment_features
+    from dynam3d_tpu.models.memory3d.update import (
+        delete_from_frustum, update_views,
+    )
+    from dynam3d_tpu.geom.projection import habitat_to_world
+    from dynam3d_tpu.models.encoders.depth_resnet import preprocess_depth
+    from dynam3d_tpu.models.policy import nearest_resize_hw
+
+    HW = H * W
+    grid_in = jnp.asarray(
+        rng.normal(size=(B, V, HW, f.fts_dim)), jnp.float32
+    )
+    segm_in = jnp.asarray(
+        rng.integers(0, f.max_segments, (B, V, HW)), jnp.int32
+    )
+
+    def upd(p, st, depth, pos, hd):
+        d24 = nearest_resize_hw(depth, H, W)
+        d24 = preprocess_depth(
+            d24.reshape(B * V, H, W)[..., None], (0.0, 10.0)
+        )[..., 0].reshape(B, V, HW)
+        dfull = preprocess_depth(
+            depth.reshape(B * V, *depth.shape[2:])[..., None], (0.0, 10.0)
+        )[..., 0].reshape(B, V, *depth.shape[2:])
+        pw = habitat_to_world(pos)
+        hv = hd[:, None] + jnp.arange(V, dtype=jnp.float32)[None] * (
+            -jnp.pi / 6.0
+        )
+
+        def per_el(st, df, d24_b, g, s, pwb, hvb):
+            def del_view(s2, xs):
+                dmap, h = xs
+                return delete_from_frustum(s2, f, dmap, pwb, h), None
+            st, _ = jax.lax.scan(
+                del_view, st, (df, jnp.broadcast_to(hvb[0], (V,)))
+            )
+            st, _ = update_views(p["fields"], st, f, d24_b, g, s, pwb, hvb)
+            return st
+        return jax.vmap(per_el)(st, dfull, d24, grid_in, segm_in, pw, hv)
+
+    def env(st, pos, hd):
+        pw = habitat_to_world(pos)
+        return jax.vmap(
+            lambda s, p2, h2: environment_features(s, p2, h2, 5.0, 100.0)
+        )(st, pw, hd)
 
     progs = {
         "clip_grid(x1 tower)": (jax.jit(clip_grid), (params, rgb)),
         "llava_tower+proj": (jax.jit(tower), (params, rgb)),
         "fastsam_x_576": (jax.jit(seg), (params, rgb)),
+        "update+frustum_del": (
+            jax.jit(upd), (params, state, depth, pos, hd)
+        ),
+        "env_features": (jax.jit(env), (state, pos, hd)),
         "perceive_full": (jax.jit(full), (params, state, rgb, depth, pos, hd)),
         "perceive_no_frustum_del": (
             jax.jit(no_seg_update), (params, state, rgb, depth, pos, hd)
