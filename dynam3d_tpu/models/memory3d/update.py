@@ -252,27 +252,54 @@ def update_view(
     member_of = (patch_owner[None, :] == merge_ids[:, None]) & patch_valid[None, :] & merge_fill[:, None]
     mkeys = jnp.where(member_of, jnp.arange(cfg.patch_capacity)[None, :], cfg.patch_capacity)
     mslots = jnp.sort(mkeys, axis=1)[:, :Tm]                 # [M,Tm]
-    mvalid = mslots < cfg.patch_capacity
-    mslots_c = jnp.minimum(mslots, cfg.patch_capacity - 1)
-    mpos = patch_pos[mslots_c]                               # [M,Tm,3]
-    mfts = patch_fts[mslots_c].astype(jnp.float32)
-    mdir = patch_dir[mslots_c]
-    mscale = patch_scale[mslots_c]
-    mcount = jnp.maximum(jnp.sum(mvalid, axis=1), 1)
-    new_center = jnp.sum(jnp.where(mvalid[..., None], mpos, 0.0), axis=1) / mcount[:, None]
-    memb_in = _patch_pos_embedding_input(mpos, new_center[:, None, :], mdir, mscale)
-    mtokens = mfts + mlp2(params["patch_pos_mlp"], memb_in)  # [M,Tm,D]
-    magg = jnp.broadcast_to(params["p2i_agg_token"], (M, 1, D))
-    mtokens = jnp.concatenate([magg, mtokens], axis=1)       # [M,1+Tm,D]
-    kp = jnp.concatenate([jnp.ones((M, 1), bool), mvalid], axis=1)
-    mout = encoder_stack(
-        params["p2i_encoder"], mtokens.astype(enc_dt), heads,
-        key_padding_mask=kp,
-    )
-    merged_fts = mout[:, 0].astype(jnp.float32)              # [M,D]
-    mwrite = jnp.where(merge_fill, merge_ids, cfg.instance_capacity)
-    inst_pos = inst_pos.at[mwrite].set(new_center, mode="drop")
-    inst_fts = inst_fts.at[mwrite].set(merged_fts.astype(inst_fts.dtype), mode="drop")
+    mvalid_all = mslots < cfg.patch_capacity
+
+    def _reagg(ids, fill, msl, mva):
+        """Re-aggregate ``m`` merged instances (rows sliced by the caller);
+        returns the updated (inst_pos, inst_fts) tables."""
+        m = ids.shape[0]
+        msl_c = jnp.minimum(msl, cfg.patch_capacity - 1)
+        mpos = patch_pos[msl_c]                              # [m,Tm,3]
+        mfts = patch_fts[msl_c].astype(jnp.float32)
+        mdir = patch_dir[msl_c]
+        mscale = patch_scale[msl_c]
+        mcount = jnp.maximum(jnp.sum(mva, axis=1), 1)
+        nc = jnp.sum(jnp.where(mva[..., None], mpos, 0.0), axis=1) / mcount[:, None]
+        memb_in = _patch_pos_embedding_input(mpos, nc[:, None, :], mdir, mscale)
+        mtokens = mfts + mlp2(params["patch_pos_mlp"], memb_in)
+        magg = jnp.broadcast_to(params["p2i_agg_token"], (m, 1, D))
+        mtokens = jnp.concatenate([magg, mtokens], axis=1)   # [m,1+Tm,D]
+        kp = jnp.concatenate([jnp.ones((m, 1), bool), mva], axis=1)
+        mout = encoder_stack(
+            params["p2i_encoder"], mtokens.astype(enc_dt), heads,
+            key_padding_mask=kp,
+        )
+        merged_fts = mout[:, 0].astype(jnp.float32)          # [m,D]
+        mwrite = jnp.where(fill, ids, cfg.instance_capacity)
+        return (
+            inst_pos.at[mwrite].set(nc, mode="drop"),
+            inst_fts.at[mwrite].set(
+                merged_fts.astype(inst_fts.dtype), mode="drop"
+            ),
+        )
+
+    # two-tier dispatch: a view rarely merges into more than a few distinct
+    # instances, so run the (row-linear-cost) re-aggregation encoder on a
+    # 16-row slice when it covers every merge — EXACT, since rows beyond
+    # the merged count are padding either way; fall back to all M rows
+    M_small = 16
+    if M > M_small:
+        inst_pos, inst_fts = jax.lax.cond(
+            jnp.sum(merge_fill) <= M_small,
+            lambda _: _reagg(
+                merge_ids[:M_small], merge_fill[:M_small],
+                mslots[:M_small], mvalid_all[:M_small],
+            ),
+            lambda _: _reagg(merge_ids, merge_fill, mslots, mvalid_all),
+            None,
+        )
+    else:
+        inst_pos, inst_fts = _reagg(merge_ids, merge_fill, mslots, mvalid_all)
 
     # ---- 7. zone updates over cells touched by this view's segment centers ----
     # (the reference keys zones by the SEGMENT centers, not post-merge
