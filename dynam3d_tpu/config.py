@@ -100,6 +100,14 @@ class CLIPConfig:
     text_heads: int = 12
     vocab_size: int = 49408
 
+    #: Vision-tower matmul dtype for the perception path.  "bf16" matches
+    #: the reference deployment (OpenAI CLIP ships fp16 weights via
+    #: clip.load; the LLaVA tower is loaded torch_dtype=bfloat16,
+    #: Policy_Dynam3D_VLN.py:117) and halves the two ViT-L passes' MXU
+    #: time; parameters stay f32 and golden tests feed f32 pixels, so
+    #: bit-close comparisons are unaffected.
+    compute_dtype: str = "bf16"
+
     @property
     def grid(self) -> int:
         return self.image_size // self.patch_size  # 24

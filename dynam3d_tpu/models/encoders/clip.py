@@ -40,10 +40,18 @@ def _quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+def _w(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Follow the activation dtype: a mixed bf16 x f32 dot promotes back to
+    f32 and misses the MXU fast path (see ops/transformer._dense)."""
+    return w.astype(jnp.bfloat16) if x.dtype == jnp.bfloat16 else w
+
+
 def _attn(p: Params, x: jnp.ndarray, heads: int, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
     T, D = x.shape[-2], x.shape[-1]
     hd = D // heads
-    qkv = jnp.dot(x, p["qkv"]["w"], preferred_element_type=jnp.float32) + p["qkv"]["b"]
+    qkv = jnp.dot(
+        x, _w(x, p["qkv"]["w"]), preferred_element_type=jnp.float32
+    ) + p["qkv"]["b"]
     q, k, v = jnp.split(qkv.astype(x.dtype), 3, axis=-1)
     q = q.reshape(*q.shape[:-1], heads, hd)
     k = k.reshape(*k.shape[:-1], heads, hd)
@@ -55,16 +63,23 @@ def _attn(p: Params, x: jnp.ndarray, heads: int, mask: Optional[jnp.ndarray]) ->
     a = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
     o = jnp.einsum("...hqk,...khd->...qhd", a, v, preferred_element_type=jnp.float32)
     o = o.reshape(*o.shape[:-2], D).astype(x.dtype)
-    return (jnp.dot(o, p["out"]["w"], preferred_element_type=jnp.float32) + p["out"]["b"]).astype(x.dtype)
+    return (
+        jnp.dot(o, _w(x, p["out"]["w"]), preferred_element_type=jnp.float32)
+        + p["out"]["b"]
+    ).astype(x.dtype)
 
 
 def _block(p: Params, x: jnp.ndarray, heads: int, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
     """Pre-norm ResidualAttentionBlock (clip/model.py:162-177)."""
     x = x + _attn(p["attn"], layer_norm(p["ln1"], x), heads, mask)
     h = layer_norm(p["ln2"], x)
-    h = jnp.dot(h, p["fc1"]["w"], preferred_element_type=jnp.float32) + p["fc1"]["b"]
+    h = jnp.dot(
+        h, _w(h, p["fc1"]["w"]), preferred_element_type=jnp.float32
+    ) + p["fc1"]["b"]
     h = _quick_gelu(h.astype(x.dtype))
-    h = jnp.dot(h, p["fc2"]["w"], preferred_element_type=jnp.float32) + p["fc2"]["b"]
+    h = jnp.dot(
+        h, _w(h, p["fc2"]["w"]), preferred_element_type=jnp.float32
+    ) + p["fc2"]["b"]
     return x + h.astype(x.dtype)
 
 
@@ -119,10 +134,12 @@ def encode_image(
     ps = cfg.patch_size
     x = pixels.reshape(B, g, ps, g, ps, 3)
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, g * g, ps * ps * 3)
-    x = jnp.dot(x, v["conv1_w"], preferred_element_type=jnp.float32).astype(pixels.dtype)
+    x = jnp.dot(
+        x, _w(x, v["conv1_w"]), preferred_element_type=jnp.float32
+    ).astype(pixels.dtype)
     cls = jnp.broadcast_to(v["class_embedding"], (B, 1, cfg.vision_width)).astype(x.dtype)
     x = jnp.concatenate([cls, x], axis=1)
-    x = x + v["positional_embedding"]
+    x = x + v["positional_embedding"].astype(x.dtype)
     x = layer_norm(v["ln_pre"], x)
     if hidden_layer is not None:
         stop = len(v["transformer"]["blocks"]) + hidden_layer + 1
@@ -130,7 +147,7 @@ def encode_image(
     x = _tower(v["transformer"], x, cfg.vision_heads, None)
     patches = layer_norm(v["ln_post"], x[:, 1:, :])
     cls_out = layer_norm(v["ln_post"], x[:, 0, :])
-    proj = v["proj"]
+    proj = _w(x, v["proj"])
     return (
         jnp.dot(cls_out, proj, preferred_element_type=jnp.float32).astype(x.dtype),
         jnp.dot(patches, proj, preferred_element_type=jnp.float32).astype(x.dtype),

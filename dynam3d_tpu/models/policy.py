@@ -138,6 +138,10 @@ def perceive(
     pixels = clip_mod.preprocess_rgb(
         rgb.reshape(B * V, *rgb.shape[2:]), cfg.clip.image_size
     )
+    if cfg.clip.compute_dtype == "bf16":
+        # both ViT-L passes (grid + llava tower below) run bf16, the
+        # reference's own tower precision (fp16 CLIP / bf16 LLaVA)
+        pixels = pixels.astype(jnp.bfloat16)
     _, grid = clip_mod.encode_image(params["clip"], cfg.clip, pixels)
     grid = jax.lax.stop_gradient(grid).reshape(B, V, HW, f.fts_dim)
 
@@ -207,8 +211,7 @@ def perceive(
 
     # --- llava-tower patch tokens + 3D position embedding (":363-394") ---
     tower_feats = llava_mod.image_features(
-        params["llava"], cfg.llava, cfg.clip,
-        pixels.astype(jnp.float32),
+        params["llava"], cfg.llava, cfg.clip, pixels
     )  # [B*V, HW, D_llm]
     tower_feats = jax.lax.stop_gradient(tower_feats)
     px, py, pz, pdir, pscale = patch_3d_info(
