@@ -256,6 +256,30 @@ def test_spec_fused_e2e_self_consistent(monkeypatch):
     assert int(st2["passes"]) < int(st2["tokens"])
 
 
+def test_spec_through_episode_runner(monkeypatch):
+    """DYNAM3D_SPEC_DECODE through the full closed loop: EpisodeRunner
+    builds lookup ids from the prompt (image span/pads masked to -1), the
+    spec path decodes, the text parser still yields actions, and one
+    episode runs end to end on the tiny config."""
+    from dynam3d_tpu import flags
+    from dynam3d_tpu.models import policy as policy_mod
+    from dynam3d_tpu.runtime.episode import EpisodeRunner
+    from dynam3d_tpu.runtime.feed import SyntheticRoomFeed
+    from tests.test_e2e_slice import tiny_config
+
+    monkeypatch.setattr(flags, "SPEC_DECODE", True)
+    cfg = tiny_config()
+    params = policy_mod.init_policy_params(
+        jax.random.PRNGKey(0), cfg, llm_dtype=jnp.float32
+    )
+    runner = EpisodeRunner(params, cfg)
+    feed = SyntheticRoomFeed(rgb_size=56, depth_size=32, views=1, seed=0)
+    res = runner.run([feed], max_steps=2, ignore_stop=True)
+    assert len(res) == 1
+    assert res[0]["steps"] >= 1
+    assert np.isfinite(res[0]["distance_to_goal"])
+
+
 def test_ngram_draft_lookup():
     """Unit: bigram hit returns the continuation; terminal occurrence and
     -1 holes never match; unigram fallback when prev < 0."""
