@@ -554,21 +554,30 @@ def greedy_decode(
 def _ngram_draft(
     hist: jnp.ndarray,   # [Lh] int32 token history; entries < 0 never match
     n_hist,              # int32 scalar: live entries (hist[n_hist-1] is last)
+    prev2_tok,           # int32 scalar; < 0 -> no trigram tier
     prev_tok,            # int32 scalar; < 0 -> unigram match on last_tok only
     last_tok,            # int32 scalar
     k: int,
 ) -> jnp.ndarray:
     """Prompt-lookup draft: the ``k-1`` tokens that followed the most
-    recent EARLIER occurrence of the bigram ``(prev_tok, last_tok)`` in
-    ``hist`` (unigram on ``last_tok`` when ``prev_tok < 0``); all ``-1``
-    (never-accepted sentinels) when no occurrence exists."""
+    recent EARLIER occurrence of the current n-gram in ``hist`` —
+    longest-match cascade trigram ``(prev2, prev, last)`` -> bigram
+    ``(prev, last)`` -> unigram ``last`` (a longer key is a more precise
+    continuation predictor); all ``-1`` (never-accepted sentinels) when
+    no occurrence exists."""
     Lh = hist.shape[0]
     idx = jnp.arange(Lh - 1)
     a0, a1 = hist[:-1], hist[1:]
     before_tail = idx + 1 < n_hist - 1   # exclude the terminal occurrence
-    bi = (a0 == prev_tok) & (a1 == last_tok) & (a0 >= 0)
-    uni = a1 == last_tok
-    m = jnp.where(prev_tok >= 0, bi, uni) & (a1 >= 0) & before_tail
+    live = (a1 >= 0) & before_tail
+    am1 = jnp.concatenate([jnp.full((1,), -9, hist.dtype), hist[:-2]])
+    tri = (
+        (am1 == prev2_tok) & (a0 == prev_tok) & (a1 == last_tok)
+        & (am1 >= 0) & (a0 >= 0) & live & (prev2_tok >= 0) & (prev_tok >= 0)
+    )
+    bi = (a0 == prev_tok) & (a1 == last_tok) & (a0 >= 0) & live & (prev_tok >= 0)
+    uni = (a1 == last_tok) & live
+    m = jnp.where(jnp.any(tri), tri, jnp.where(jnp.any(bi), bi, uni))
     found = jnp.any(m)
     p = jnp.max(jnp.where(m, idx, -1))
     start = jnp.clip(p + 2, 0, Lh - (k - 1))
@@ -664,8 +673,8 @@ def greedy_decode_spec(
         return (c[0] < max_new_tokens) & ~c[6]
 
     def body(c):
-        n_em, ckv, valid, out, hist, last, done, prev, npass = c
-        drf = _ngram_draft(hist, S + n_em, prev, last, k)
+        n_em, ckv, valid, out, hist, last, done, prev, prev2, npass = c
+        drf = _ngram_draft(hist, S + n_em, prev2, prev, last, k)
         d = jnp.concatenate([last[None], drf])                    # [k]
         pos0 = n_pos0 + n_em - 1
         wslot = T + n_em - 1
@@ -735,15 +744,19 @@ def greedy_decode_spec(
         valid = valid | ((t_iota >= wslot) & (t_iota < wslot + acc))[None]
         new_last = a[acc - 1]
         new_prev = jnp.where(acc >= 2, a[acc - 2], last)
+        new_prev2 = jnp.where(
+            acc >= 3, a[jnp.maximum(acc - 3, 0)],
+            jnp.where(acc == 2, last, prev),
+        )
         done = done | (stop_pos < acc)
         return (n_em + acc, ckv2, valid, out, hist,
-                new_last, done, new_prev, npass + 1)
+                new_last, done, new_prev, new_prev2, npass + 1)
 
     carry = (jnp.int32(1), (cache.k, cache.v), valid0, out0, hist0,
-             next_tok[0], done0, jnp.int32(-1), jnp.int32(0))
+             next_tok[0], done0, jnp.int32(-1), jnp.int32(-1), jnp.int32(0))
     carry = jax.lax.while_loop(cond, body, carry)
     if return_stats:
-        return carry[3], {"tokens": carry[0], "passes": carry[8]}
+        return carry[3], {"tokens": carry[0], "passes": carry[9]}
     return carry[3]
 
 

@@ -281,19 +281,22 @@ def test_spec_through_episode_runner(monkeypatch):
 
 
 def test_ngram_draft_lookup():
-    """Unit: bigram hit returns the continuation; terminal occurrence and
-    -1 holes never match; unigram fallback when prev < 0."""
+    """Unit: trigram > bigram > unigram cascade; terminal occurrence and
+    -1 holes never match."""
     hist = jnp.asarray([5, 9, 2, 7, -1, 9, 2, 4, 1, 9, 2], jnp.int32)
-    n_hist = 11   # last = 2 at index 10, prev = 9
-    # bigram (9,2): matches at idx 1 and 5 (terminal idx 9 excluded)
-    d = np.asarray(phi3._ngram_draft(hist, n_hist, jnp.int32(9),
-                                     jnp.int32(2), k=3))
-    np.testing.assert_array_equal(d, [4, 1])   # continuation after idx 5
+    n_hist = 11   # last = 2 at index 10, prev = 9, prev2 = 1
+
+    def draft(p2, p1, last, k=3):
+        return np.asarray(phi3._ngram_draft(
+            hist, n_hist, jnp.int32(p2), jnp.int32(p1), jnp.int32(last), k))
+
+    # bigram (9,2): matches at idx 1 and 5 (terminal idx 9 excluded);
+    # trigram (1,9,2) has no earlier occurrence -> falls to the bigram
+    np.testing.assert_array_equal(draft(1, 9, 2), [4, 1])
+    # trigram hit beats a later bigram: (5,9,2) occurs at the START, the
+    # bigram (9,2) also at idx 5 — the trigram tier must pick idx 1
+    np.testing.assert_array_equal(draft(5, 9, 2), [7, -1])
     # no match -> all -1
-    d = np.asarray(phi3._ngram_draft(hist, n_hist, jnp.int32(8),
-                                     jnp.int32(8), k=3))
-    np.testing.assert_array_equal(d, [-1, -1])
+    np.testing.assert_array_equal(draft(-1, 8, 8), [-1, -1])
     # unigram on last=2 when prev < 0
-    d = np.asarray(phi3._ngram_draft(hist, n_hist, jnp.int32(-1),
-                                     jnp.int32(2), k=3))
-    np.testing.assert_array_equal(d, [4, 1])
+    np.testing.assert_array_equal(draft(-1, -1, 2), [4, 1])
