@@ -318,7 +318,7 @@ def _phase_breakdown(runner, params, cfg, state, obs, hist, rep, B, steps=6):
     peak_bw = 819e9      # v5e HBM
     pf_net = max(prefill_ms - rtt, 1e-3)
     dec_per_tok = decode_ms / max(n_tok, 1)
-    return {
+    out_fields = {
         "rtt_ms": round(rtt, 2),
         "perceive_ms": round(perceive_ms, 2),
         "prefill_ms": round(prefill_ms, 2),
@@ -329,10 +329,16 @@ def _phase_breakdown(runner, params, cfg, state, obs, hist, rep, B, steps=6):
         "llm_params_m": round(n_params / 1e6, 1),
         "prefill_matmul_dtype": "int8" if w8a8 else "bf16",
         "prefill_mfu_pct": round(100 * prefill_flops / (pf_net / 1e3) / peak_flops, 1),
-        "decode_hbm_pct": round(
-            100 * (dec_bytes + kv_bytes) / (dec_per_tok / 1e3) / peak_bw, 1
-        ),
+        "decode_mode": "spec" if _flags.SPEC_DECODE else "greedy",
     }
+    if not _flags.SPEC_DECODE:
+        # the per-token weight+KV stream identity only holds for plain
+        # greedy decode; speculative passes amortize it across accepted
+        # tokens, so the "utilization" reading would be meaningless
+        out_fields["decode_hbm_pct"] = round(
+            100 * (dec_bytes + kv_bytes) / (dec_per_tok / 1e3) / peak_bw, 1
+        )
+    return out_fields
 
 
 def serve_bench():

@@ -81,8 +81,13 @@ INT4_BLOCK_MAJOR: bool = _on("DYNAM3D_INT4_BLOCK_MAJOR")
 #: with the templated VLN action vocabulary ("turn left N degree ...",
 #: "go forward ...", "stop.") the draft source (instruction + history +
 #: own output) hits often.  Greedy-exact: every emitted token is the
-#: argmax given exactly the accepted prefix.  B=1 serving only.
-SPEC_DECODE: bool = _on("DYNAM3D_SPEC_DECODE")
+#: argmax given exactly the accepted prefix; a draft-less pass falls back
+#: to a plain one-token step, so the all-miss regime costs the same as
+#: non-speculative decode.  Applies at B=1 (llava.generate falls back to
+#: plain greedy for batched rows).  Default ON: full-step p50 186.7 ->
+#: 151.6 ms on the serving bench (decode 3.57 -> 2.49 ms/token;
+#: docs/BENCH_NOTES.md).  DYNAM3D_SPEC_DECODE=0 disables.
+SPEC_DECODE: bool = _on("DYNAM3D_SPEC_DECODE", "1")
 
 #: Draft window K (tokens verified per pass, incl. the carried token).
 #: Pass cost is ~flat in K (the weight stream dominates: 4.28/5.14/5.30
