@@ -248,8 +248,17 @@ def _phase_breakdown(runner, params, cfg, state, obs, hist, rep, B, steps=6):
     def gen_short(p, ids, tv, mm, mv):
         emb = llava_mod.splice_embeds(p["llava"], cfg.llava, ids, mm, splice)
         av = jax.lax.dynamic_update_slice(tv, mv, (0, splice))
+        # same draft source as the long endpoint (generate_action_ids
+        # builds these): under SPEC_DECODE both slope endpoints must run
+        # the same speculative regime or the slope mixes acceptance rates
+        lookup = None
+        if ids.shape[0] == 1:
+            lookup = jnp.where(
+                tv & (ids != p3.image_token_id), ids, -1
+            )
         return llava_mod.generate(
-            p["llava"], cfg.llava, emb, av, max_new_tokens=short_tok
+            p["llava"], cfg.llava, emb, av, max_new_tokens=short_tok,
+            lookup_ids=lookup,
         )
 
     gs = jax.jit(gen_short)
@@ -329,9 +338,10 @@ def _phase_breakdown(runner, params, cfg, state, obs, hist, rep, B, steps=6):
         "llm_params_m": round(n_params / 1e6, 1),
         "prefill_matmul_dtype": "int8" if w8a8 else "bf16",
         "prefill_mfu_pct": round(100 * prefill_flops / (pf_net / 1e3) / peak_flops, 1),
-        "decode_mode": "spec" if _flags.SPEC_DECODE else "greedy",
+        # llava.generate only takes the speculative path at B == 1
+        "decode_mode": "spec" if (_flags.SPEC_DECODE and B == 1) else "greedy",
     }
-    if not _flags.SPEC_DECODE:
+    if not (_flags.SPEC_DECODE and B == 1):
         # the per-token weight+KV stream identity only holds for plain
         # greedy decode; speculative passes amortize it across accepted
         # tokens, so the "utilization" reading would be meaningless

@@ -40,10 +40,7 @@ def _quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     return x * jax.nn.sigmoid(1.702 * x)
 
 
-def _w(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """Follow the activation dtype: a mixed bf16 x f32 dot promotes back to
-    f32 and misses the MXU fast path (see ops/transformer._dense)."""
-    return w.astype(jnp.bfloat16) if x.dtype == jnp.bfloat16 else w
+from dynam3d_tpu.ops.transformer import weight_like as _w  # noqa: E402
 
 
 def _attn(p: Params, x: jnp.ndarray, heads: int, mask: Optional[jnp.ndarray]) -> jnp.ndarray:

@@ -283,23 +283,11 @@ def update_view(
             ),
         )
 
-    # two-tier dispatch: a view rarely merges into more than a few distinct
-    # instances, so run the (row-linear-cost) re-aggregation encoder on a
-    # 16-row slice when it covers every merge — EXACT, since rows beyond
-    # the merged count are padding either way; fall back to all M rows
-    M_small = 16
-    if M > M_small:
-        inst_pos, inst_fts = jax.lax.cond(
-            jnp.sum(merge_fill) <= M_small,
-            lambda _: _reagg(
-                merge_ids[:M_small], merge_fill[:M_small],
-                mslots[:M_small], mvalid_all[:M_small],
-            ),
-            lambda _: _reagg(merge_ids, merge_fill, mslots, mvalid_all),
-            None,
-        )
-    else:
-        inst_pos, inst_fts = _reagg(merge_ids, merge_fill, mslots, mvalid_all)
+    # NOTE a data-dependent two-tier (cond on the merged count) was tried
+    # and reverted: update_view runs under jax.vmap in policy.perceive, and
+    # a vmapped lax.cond lowers to select_n — BOTH branches execute, adding
+    # the small tier's work on top of the full one
+    inst_pos, inst_fts = _reagg(merge_ids, merge_fill, mslots, mvalid_all)
 
     # ---- 7. zone updates over cells touched by this view's segment centers ----
     # (the reference keys zones by the SEGMENT centers, not post-merge

@@ -257,7 +257,7 @@ def generate_action_ids(
         params["llava"], cfg.llava, input_ids, mm_tokens, splice_start
     )
     attn_valid = jax.lax.dynamic_update_slice(text_valid, mm_valid, (0, splice_start))
-    # draft source for the (opt-in) speculative decode: the prompt's TEXT
+    # draft source for the (default-on) speculative decode: the prompt's TEXT
     # ids only — the <image> span and pads are -1 sentinels that never match
     lookup_ids = None
     if input_ids.shape[0] == 1:

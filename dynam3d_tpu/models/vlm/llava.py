@@ -44,13 +44,15 @@ def image_features(
     )  # [B, 1+G*G, Wv]
     patches = hidden[:, 1:, :]
     p = params["projector"]
+    from dynam3d_tpu.ops.transformer import weight_like
+
     h = jnp.dot(
-        patches, clip_mod._w(patches, p["fc1"]["w"]),
+        patches, weight_like(patches, p["fc1"]["w"]),
         preferred_element_type=jnp.float32,
     ) + p["fc1"]["b"]
     h = jax.nn.gelu(h.astype(patches.dtype), approximate=False)
     h = jnp.dot(
-        h, clip_mod._w(h, p["fc2"]["w"]), preferred_element_type=jnp.float32
+        h, weight_like(h, p["fc2"]["w"]), preferred_element_type=jnp.float32
     ) + p["fc2"]["b"]
     return h.astype(patches.dtype)
 

@@ -21,13 +21,18 @@ import jax.numpy as jnp
 Params = Dict[str, Any]
 
 
-def _dense(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    w = p["w"]
+def weight_like(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Follow the activation dtype: a mixed bf16 x f32 dot promotes to f32
+    and misses the MXU's fast path; casting the weight keeps the matmul
+    bf16 with f32 accumulation.  The ONE place the mixed-dtype rule lives
+    (shared by _dense, the CLIP tower, and the LLaVA projector)."""
     if x.dtype == jnp.bfloat16 and w.dtype == jnp.float32:
-        # a mixed bf16 x f32 dot promotes to f32 and misses the MXU's fast
-        # path; casting the weight keeps the matmul bf16 with f32 accumulation
-        w = w.astype(jnp.bfloat16)
-    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        return w.astype(jnp.bfloat16)
+    return w
+
+
+def _dense(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    y = jnp.dot(x, weight_like(x, p["w"]), preferred_element_type=jnp.float32)
     return (y + p["b"]).astype(x.dtype)
 
 

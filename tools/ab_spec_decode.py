@@ -59,8 +59,8 @@ def main():
         return float(np.percentile(ts, 50) * 1e3)
 
     # ---- 1. verify-pass cost vs k (chained passes, slope cancels RTT) ----
-    total = T + 160
     n1, n2 = 8, 32
+    total = T + n2 * 8 + 16   # room for every pass's k rows (no clamped writes)
     for k in (1, 4, 8):
         def chain(n, k=k):
             def f(p, e, v):
