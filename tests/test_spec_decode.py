@@ -256,6 +256,107 @@ def test_spec_fused_e2e_self_consistent(monkeypatch):
     assert int(st2["passes"]) < int(st2["tokens"])
 
 
+@pytest.mark.parametrize("k", [2, 3, 5, 8])
+def test_verify_fused_k_sweep(monkeypatch, k):
+    """Shared-cache verify at every draft width (odd k exercises the
+    dead-row padding and non-lane-aligned row counts)."""
+    cfg = _cfg()
+    qparams = _quantized_eligible(cfg, seed=k)
+    _interpret_ring(monkeypatch)
+    rng = np.random.default_rng(20 + k)
+
+    T, total = 30, 512
+    D = cfg.hidden_size
+    embeds, av = _prompt(cfg, 20 + k, T=T)
+    cache = phi3.init_cache(cfg, 1, total, dtype=jnp.bfloat16)
+    positions = jnp.maximum(jnp.cumsum(av.astype(jnp.int32), 1) - 1, 0)
+    mask = phi3.prefill_mask(av, total)
+    _, cache = phi3.forward(qparams, cfg, embeds, positions, cache, 0, mask)
+
+    valid = np.zeros((1, total), bool)
+    valid[0, :T] = np.asarray(av)[0]
+    valid = jnp.asarray(valid)
+    n_pos0 = int(np.asarray(av).sum())
+    e = jnp.asarray(rng.normal(scale=0.5, size=(1, k, D)), jnp.bfloat16)
+
+    kk = jnp.arange(k)
+    t_iota = jnp.arange(total)
+    row_extra = (t_iota[None] >= T) & (t_iota[None] <= T + kk[:, None])
+    m = valid[:, None, :] | row_extra[None]
+    pos = (n_pos0 + kk)[None]
+    lg_ref, _ = phi3.decode_forward(qparams, cfg, e, pos, cache, T, m)
+
+    flat = phi3.KVCache(
+        cache.k.reshape(cfg.num_layers, 1, total, D),
+        cache.v.reshape(cfg.num_layers, 1, total, D),
+    )
+    lg_f, _ = phi3._verify_forward_fused(
+        qparams, cfg, e, n_pos0, flat, T, valid
+    )
+    np.testing.assert_allclose(
+        np.asarray(lg_f, np.float32), np.asarray(lg_ref, np.float32),
+        rtol=5e-2, atol=5e-2,
+    )
+    np.testing.assert_array_equal(
+        np.argmax(np.asarray(lg_f[0]), -1),
+        np.argmax(np.asarray(lg_ref[0]), -1),
+    )
+
+
+def test_verify_fused_across_block_boundary(monkeypatch):
+    """Draft rows written across the _ROWS cache-block boundary (wslot just
+    below 512 with k rows spilling into block 1) with a long prompt whose
+    padding holes span the boundary region."""
+    from dynam3d_tpu.ops.pallas_decode import _ROWS
+
+    cfg = _cfg()
+    qparams = _quantized_eligible(cfg, seed=9)
+    _interpret_ring(monkeypatch)
+    rng = np.random.default_rng(9)
+
+    T, total, k = _ROWS - 3, 2 * _ROWS, 4   # rows 509..512: spans blocks
+    D = cfg.hidden_size
+    embeds = jnp.asarray(
+        rng.normal(scale=0.5, size=(1, T, D)), jnp.bfloat16
+    )
+    av = np.ones((1, T), bool)
+    av[0, _ROWS - 20 : _ROWS - 10] = False   # holes near the boundary
+    av = jnp.asarray(av)
+    cache = phi3.init_cache(cfg, 1, total, dtype=jnp.bfloat16)
+    positions = jnp.maximum(jnp.cumsum(av.astype(jnp.int32), 1) - 1, 0)
+    mask = phi3.prefill_mask(av, total)
+    _, cache = phi3.forward(qparams, cfg, embeds, positions, cache, 0, mask)
+
+    valid = np.zeros((1, total), bool)
+    valid[0, :T] = np.asarray(av)[0]
+    valid = jnp.asarray(valid)
+    n_pos0 = int(np.asarray(av).sum())
+    e = jnp.asarray(rng.normal(scale=0.5, size=(1, k, D)), jnp.bfloat16)
+
+    kk = jnp.arange(k)
+    t_iota = jnp.arange(total)
+    row_extra = (t_iota[None] >= T) & (t_iota[None] <= T + kk[:, None])
+    m = valid[:, None, :] | row_extra[None]
+    pos = (n_pos0 + kk)[None]
+    lg_ref, _ = phi3.decode_forward(qparams, cfg, e, pos, cache, T, m)
+
+    flat = phi3.KVCache(
+        cache.k.reshape(cfg.num_layers, 1, total, D),
+        cache.v.reshape(cfg.num_layers, 1, total, D),
+    )
+    lg_f, _ = phi3._verify_forward_fused(
+        qparams, cfg, e, n_pos0, flat, T, valid
+    )
+    np.testing.assert_allclose(
+        np.asarray(lg_f, np.float32), np.asarray(lg_ref, np.float32),
+        rtol=5e-2, atol=5e-2,
+    )
+    np.testing.assert_array_equal(
+        np.argmax(np.asarray(lg_f[0]), -1),
+        np.argmax(np.asarray(lg_ref[0]), -1),
+    )
+
+
 def test_spec_through_episode_runner(monkeypatch):
     """DYNAM3D_SPEC_DECODE through the full closed loop: EpisodeRunner
     builds lookup ids from the prompt (image span/pads masked to -1), the
