@@ -259,12 +259,10 @@ def generate_action_ids(
     attn_valid = jax.lax.dynamic_update_slice(text_valid, mm_valid, (0, splice_start))
     # draft source for the (default-on) speculative decode: the prompt's TEXT
     # ids only — the <image> span and pads are -1 sentinels that never match
-    lookup_ids = None
-    if input_ids.shape[0] == 1:
-        lookup_ids = jnp.where(
-            text_valid & (input_ids != cfg.llava.phi3.image_token_id),
-            input_ids, -1,
-        )
+    lookup_ids = jnp.where(
+        text_valid & (input_ids != cfg.llava.phi3.image_token_id),
+        input_ids, -1,
+    )
     return llava_mod.generate(
         params["llava"], cfg.llava, emb, attn_valid, lookup_ids=lookup_ids
     )

@@ -132,8 +132,25 @@ def generate(
 ) -> jnp.ndarray:
     from dynam3d_tpu import flags
 
-    if flags.SPEC_DECODE and embeds.shape[0] == 1:
+    B = embeds.shape[0]
+    if flags.SPEC_DECODE and B == 1:
         return phi3.greedy_decode_spec(
+            params["phi3"],
+            cfg.phi3,
+            embeds,
+            attn_valid,
+            max_new_tokens or cfg.max_new_tokens,
+            lookup_ids=lookup_ids,
+        )
+    if flags.SPEC_DECODE and B == 2 and (max_new_tokens or cfg.max_new_tokens) >= 2:
+        # grouped speculation: B episodes x (8 // B) drafts share one
+        # weight stream per verify pass.  Default-on at B=2 only: the
+        # grouped kernel currently re-streams each episode's KV cache
+        # once per draft row, so the measured pass cost is ~11 ms at
+        # B=2 (forced-accept 2.75 vs plain 4.16 ms/tok — wins above
+        # ~66% acceptance) but 13.5 ms at B=4 (forced-accept 6.78 vs
+        # plain 5.59 — never wins); see docs/BENCH_NOTES.md.
+        return phi3.greedy_decode_spec_batched(
             params["phi3"],
             cfg.phi3,
             embeds,

@@ -500,7 +500,11 @@ def greedy_decode(
 
     def body(i, carry):
         cache, tok, done, out, valid = carry
-        out = out.at[:, i].set(tok.astype(jnp.int32))
+        # rows that stopped on an EARLIER iteration pad (not repeat stop) —
+        # the docstring contract, and HF generate's batched behavior
+        out = out.at[:, i].set(
+            jnp.where(done, cfg.pad_token_id, tok.astype(jnp.int32))
+        )
         e = embed(params, tok)[:, None, :].astype(embeds.dtype)
         pos = (jnp.sum(valid, axis=1) - 1)[:, None]
         if use_fused:
@@ -541,10 +545,12 @@ def greedy_decode(
     carry = (0, cache, next_tok, done0, out0, valid0)
     carry = jax.lax.while_loop(cond, wbody, carry)
     # write the final pending token if the loop exited with room left
+    # (skipping rows that already emitted their stop on an earlier step)
     i, _, tok, done, out, _ = carry
     out = jnp.where(
         (i < max_new_tokens)[..., None]
-        & (jax.lax.broadcasted_iota(jnp.int32, out.shape, 1) == i),
+        & (jax.lax.broadcasted_iota(jnp.int32, out.shape, 1) == i)
+        & ~done[:, None],
         tok[:, None].astype(jnp.int32),
         out,
     )
@@ -754,6 +760,216 @@ def greedy_decode_spec(
 
     carry = (jnp.int32(1), (cache.k, cache.v), valid0, out0, hist0,
              next_tok[0], done0, jnp.int32(-1), jnp.int32(-1), jnp.int32(0))
+    carry = jax.lax.while_loop(cond, body, carry)
+    if return_stats:
+        return carry[3], {"tokens": carry[0], "passes": carry[9]}
+    return carry[3]
+
+
+def _verify_forward_grouped(
+    params: Params,
+    cfg: Phi3Config,
+    e: jnp.ndarray,               # [B,g,D] per-episode draft embeddings
+    pos0: jnp.ndarray,            # [B] rope position of each row's draft 0
+    cache: KVCache,
+    wslot: jnp.ndarray,           # [B] cache slot of each row's draft 0
+    valid: jnp.ndarray,           # [B,Tmax] accepted slots per episode
+    use_fused: bool,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Grouped verify pass: B episodes x g draft tokens through ONE weight
+    stream (decode_layer_ring(group_size=g)), or the XLA twin with
+    vmapped per-episode cache writes.  Returns logits ``[B,g,V]``."""
+    B, g, D = e.shape
+    gg = jnp.arange(g)
+    if use_fused:
+        from dynam3d_tpu.ops.pallas_decode import decode_layer_ring
+
+        half = cfg.head_dim // 2
+        freqs = cfg.rope_theta ** (
+            -jnp.arange(0, half, dtype=jnp.float32) / half
+        )
+        pos = (pos0[:, None] + gg[None]).reshape(-1)      # [B*g]
+        ang = pos[:, None].astype(jnp.float32) * freqs
+        cos, sin = jnp.cos(ang), jnp.sin(ang)
+        x = e.reshape(B * g, 1, D)
+        mask_rows = jnp.repeat(valid, g, axis=0)          # [B*g, Tmax]
+        posr = jnp.repeat(wslot, g)                       # [B*g] (nlive)
+        ck, cv = cache.k, cache.v
+        for li in range(cfg.num_layers):
+            p = params["layers"][li]
+            x, k_new, v_new = decode_layer_ring(
+                x, p["input_ln"], p["qkv"]["q4"], p["o"]["q4"],
+                p["post_ln"], p["gate_up"]["q4"], p["down"]["q4"],
+                ck, cv, li, posr, mask_rows, cos, sin,
+                eps=cfg.rms_eps, heads=cfg.num_heads, hd=cfg.head_dim,
+                ns=flags.FUSED_RING_SLOTS, group_size=g,
+            )
+            kb = k_new.reshape(B, g, D)
+            vb = v_new.reshape(B, g, D)
+            ckli = jax.vmap(
+                lambda c, kk, w: jax.lax.dynamic_update_slice(c, kk, (w, 0))
+            )(ck[li], kb, wslot)
+            cvli = jax.vmap(
+                lambda c, vv, w: jax.lax.dynamic_update_slice(c, vv, (w, 0))
+            )(cv[li], vb, wslot)
+            ck = jax.lax.dynamic_update_slice(ck, ckli[None], (li, 0, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, cvli[None], (li, 0, 0, 0))
+        x = rms_norm(params["final_ln"], x.reshape(B, g, D), cfg.rms_eps)
+        return _lm_head(params, x), KVCache(ck, cv)
+
+    total = valid.shape[1]
+    t_iota = jnp.arange(total)
+    pos = pos0[:, None] + gg[None]                        # [B,g]
+    row_extra = (t_iota[None, None] >= wslot[:, None, None]) & (
+        t_iota[None, None] <= (wslot[:, None, None] + gg[None, :, None])
+    )
+    m = valid[:, None, :] | row_extra
+    x = e
+    ck, cv = cache.k, cache.v
+    for li in range(cfg.num_layers):
+        p = params["layers"][li]
+        q, k, v = _qkv(p, cfg, x, pos)
+        ckli = jax.vmap(
+            lambda c, kk, w: jax.lax.dynamic_update_slice(c, kk, (w, 0, 0))
+        )(ck[li], k, wslot)
+        cvli = jax.vmap(
+            lambda c, vv, w: jax.lax.dynamic_update_slice(c, vv, (w, 0, 0))
+        )(cv[li], v, wslot)
+        ck = jax.lax.dynamic_update_slice(ck, ckli[None], (li, 0, 0, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, cvli[None], (li, 0, 0, 0, 0))
+        x = _attn_mlp(p, cfg, x, q, ck[li], cv[li], m)
+    x = rms_norm(params["final_ln"], x, cfg.rms_eps)
+    return _lm_head(params, x), KVCache(ck, cv)
+
+
+def greedy_decode_spec_batched(
+    params: Params,
+    cfg: Phi3Config,
+    embeds: jnp.ndarray,           # [B,T,D] prompt embeddings (B episodes)
+    attn_valid: jnp.ndarray,       # [B,T]
+    max_new_tokens: int,
+    stop_token: Optional[int] = None,
+    lookup_ids: Optional[jnp.ndarray] = None,   # [B,S]; -1 = never match
+    draft_len: Optional[int] = None,
+    return_stats: bool = False,
+) -> jnp.ndarray:
+    """Batched speculative greedy decode: B episodes each draft ``g``
+    tokens per pass (``B*g <= 8`` kernel rows), so one weight stream
+    verifies up to ``g`` tokens for EVERY episode.  Per-episode greedy
+    exactness and stop semantics match :func:`greedy_decode` row-wise;
+    episodes accept independently and finished rows coast (their passes
+    emit nothing).  The reference serves multi-env batches the same
+    "one generate per step over B rows" way (ss_trainer_Dynam3D.py:140-159).
+    """
+    from dynam3d_tpu.ops.pallas_decode import _BP
+
+    B, T, D = embeds.shape
+    assert B >= 2, "use greedy_decode_spec at B == 1"
+    g = int(draft_len or min(_BP // B, flags.SPEC_DRAFT_LEN))
+    g = max(2, min(g, max_new_tokens, _BP // B))
+    use_fused = _fused_decode_eligible(params, cfg, B * g) and _ring_eligible(
+        params, cfg
+    )
+    total = T + max_new_tokens + g
+    if use_fused:
+        from dynam3d_tpu.ops import pallas_decode
+
+        total = ((total + pallas_decode._ROWS - 1) // pallas_decode._ROWS
+                 ) * pallas_decode._ROWS
+    cache = init_cache(cfg, B, total, dtype=embeds.dtype)
+    positions = jnp.maximum(jnp.cumsum(attn_valid.astype(jnp.int32), 1) - 1, 0)
+    mask = prefill_mask(attn_valid, total)
+    last_idx = jnp.sum(attn_valid.astype(jnp.int32), axis=1) - 1
+    logits, cache = forward(
+        params, cfg, embeds, positions, cache, 0, mask, lm_at=last_idx
+    )
+    next_tok = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)   # [B]
+    stop = cfg.end_token_id if stop_token is None else stop_token
+    if use_fused:
+        L = cfg.num_layers
+        cache = KVCache(
+            cache.k.reshape(L, B, total, D), cache.v.reshape(L, B, total, D)
+        )
+
+    S = 0 if lookup_ids is None else int(lookup_ids.shape[-1])
+    Lh = S + max_new_tokens + g + 2
+    hist0 = jnp.full((B, Lh), -1, jnp.int32)
+    if lookup_ids is not None:
+        hist0 = hist0.at[:, :S].set(lookup_ids.astype(jnp.int32))
+    hist0 = hist0.at[:, S].set(next_tok)
+
+    n_pos0 = jnp.sum(attn_valid.astype(jnp.int32), axis=1)          # [B]
+    out0 = jnp.full((B, max_new_tokens), cfg.pad_token_id, jnp.int32)
+    out0 = out0.at[:, 0].set(next_tok)
+    done0 = next_tok == stop
+    valid0 = jnp.concatenate(
+        [attn_valid, jnp.zeros((B, total - T), bool)], axis=1
+    )
+    t_iota = jnp.arange(total)
+    j_out = jnp.arange(max_new_tokens)
+    j_hist = jnp.arange(Lh)
+    gg = jnp.arange(g)
+    bidx = jnp.arange(B)
+    neg1 = jnp.full((B,), -1, jnp.int32)
+
+    def cond(c):
+        n_em, done = c[0], c[6]
+        return jnp.any(~done & (n_em < max_new_tokens))
+
+    def body(c):
+        n_em, ckv, valid, out, hist, last, done, prev, prev2, npass = c
+        drf = jax.vmap(
+            lambda h, n, p2, p1, l: _ngram_draft(h, n, p2, p1, l, g)
+        )(hist, S + n_em, prev2, prev, last)                      # [B,g-1]
+        d = jnp.concatenate([last[:, None], drf], axis=1)         # [B,g]
+        e = embed(params, jnp.clip(d, 0)).astype(embeds.dtype)
+        pos0 = n_pos0 + n_em - 1
+        wslot = T + n_em - 1
+        logits2, cache2 = _verify_forward_grouped(
+            params, cfg, e, pos0, KVCache(*ckv), wslot, valid, use_fused
+        )
+        a = jnp.argmax(logits2, axis=-1).astype(jnp.int32)        # [B,g]
+        if flags.SPEC_FORCE_ACCEPT:   # timing-only mode; see flags.py
+            match = jnp.ones((B, g - 1), jnp.int32)
+        else:
+            match = (d[:, 1:] == a[:, :-1]).astype(jnp.int32)
+        acc = 1 + jnp.sum(jnp.cumprod(match, axis=1), axis=1)     # [B]
+        stop_pos = jnp.min(
+            jnp.where((a == stop) & (gg[None] < acc[:, None]), gg[None], g),
+            axis=1,
+        )
+        acc = jnp.minimum(jnp.minimum(acc, stop_pos + 1),
+                          max_new_tokens - n_em)
+        acc = jnp.where(done, 0, acc)
+        emit = (j_out[None] >= n_em[:, None]) & (
+            j_out[None] < (n_em + acc)[:, None]
+        )
+        take = jnp.clip(j_out[None] - n_em[:, None], 0, g - 1)
+        out = jnp.where(emit, jnp.take_along_axis(a, take, axis=1), out)
+        emh = (j_hist[None] >= (S + n_em)[:, None]) & (
+            j_hist[None] < (S + n_em + acc)[:, None]
+        )
+        takeh = jnp.clip(j_hist[None] - (S + n_em)[:, None], 0, g - 1)
+        hist = jnp.where(emh, jnp.take_along_axis(a, takeh, axis=1), hist)
+        valid = valid | (
+            (t_iota[None] >= wslot[:, None])
+            & (t_iota[None] < (wslot + acc)[:, None])
+        )
+        a_at = lambda off: a[bidx, jnp.clip(acc - off, 0, g - 1)]
+        new_last = jnp.where(acc > 0, a_at(1), last)
+        new_prev = jnp.where(
+            acc >= 2, a_at(2), jnp.where(acc == 1, last, prev)
+        )
+        new_prev2 = jnp.where(
+            acc >= 3, a_at(3),
+            jnp.where(acc == 2, last, jnp.where(acc == 1, prev, prev2)),
+        )
+        done = done | (stop_pos < acc)
+        return (n_em + acc, (cache2.k, cache2.v), valid, out, hist,
+                new_last, done, new_prev, new_prev2, npass + 1)
+
+    carry = (jnp.ones((B,), jnp.int32), (cache.k, cache.v), valid0, out0,
+             hist0, next_tok, done0, neg1, neg1, jnp.int32(0))
     carry = jax.lax.while_loop(cond, body, carry)
     if return_stats:
         return carry[3], {"tokens": carry[0], "passes": carry[9]}

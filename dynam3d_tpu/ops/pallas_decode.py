@@ -891,7 +891,7 @@ def _decode_ring_kernel(
     *,
     eps: float, heads: int, hd: int, dblk: int, nblk: int, tmax: int,
     n_qkv: int, n_o: int, n_gu: int, n_dn: int, ns: int, blocked: bool,
-    rows: int, shared: bool,
+    rows: int, shared: bool, group_size: int,
 ):
     """One program per decode layer with a hand-scheduled DMA pipeline.
 
@@ -1101,8 +1101,13 @@ def _decode_ring_kernel(
             cbuf[r : r + 1, :] = _attn_normalize(l_r, acc_r, segt)
 
     # per-row attention, sequential over the (static) batch rows; the
-    # weight ring keeps streaming o/gate_up blocks underneath
+    # weight ring keeps streaming o/gate_up blocks underneath.
+    # group_size > 0 is GROUPED speculative verify: row b is draft token
+    # b % group_size of episode b // group_size — it streams its
+    # episode's cache and folds its group's preceding draft rows from
+    # registers before its own k/v (batched multi-episode speculation)
     for b in range(rows if not shared else 0):
+        cb = b // group_size if group_size else b   # cache row for row b
         q = q_all[b : b + 1]
         k_new = k_all[b : b + 1]
         v_new = v_all[b : b + 1]
@@ -1114,15 +1119,15 @@ def _decode_ring_kernel(
             # previous row's loop reuses the same 2 slots safely
             @pl.when(nlive > 0)
             def _():
-                k, v = kv_dma(b, 0, 0)
+                k, v = kv_dma(cb, 0, 0)
                 k.start(); v.start()
             if nb_kv > 1:
                 @pl.when(nlive > 1)
                 def _():
-                    k, v = kv_dma(b, 1, 1)
+                    k, v = kv_dma(cb, 1, 1)
                     k.start(); v.start()
 
-        def attn_block(tb, carry, b=b):
+        def attn_block(tb, carry, b=b, cb=cb):
             slot = jax.lax.rem(tb, 2)
             nl = nlive_of(b)
 
@@ -1132,10 +1137,10 @@ def _decode_ring_kernel(
             # runtime-INTERNAL crash on hardware)
             @pl.when((tb + 1 < nl) & (tb + 1 >= 2))
             def _():
-                k, v = kv_dma(b, jax.lax.rem(tb + 1, 2), tb + 1)
+                k, v = kv_dma(cb, jax.lax.rem(tb + 1, 2), tb + 1)
                 k.start(); v.start()
 
-            k, v = kv_dma(b, slot, tb)
+            k, v = kv_dma(cb, slot, tb)
             k.wait(); v.wait()
             mb = mask_ref[pl.ds(tb * _ROWS, _ROWS), b : b + 1]
             return _attn_block_update(
@@ -1147,6 +1152,12 @@ def _decode_ring_kernel(
         acc0 = jnp.zeros((1, D), jnp.float32)
         m, l, acc = jax.lax.fori_loop(0, nlive, attn_block, (m0, l0, acc0))
 
+        if group_size:
+            for j in range((b // group_size) * group_size, b):
+                m, l, acc = _attn_fold_one(
+                    q, k_all[j : j + 1], v_all[j : j + 1],
+                    m, l, acc, seg, segt, scale,
+                )
         ctx = _attn_fold_current(
             q, k_new, v_new, m, l, acc, seg, segt, scale
         )
@@ -1226,7 +1237,9 @@ def _decode_ring_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("eps", "heads", "hd", "ns", "shared_cache", "interpret"),
+    static_argnames=(
+        "eps", "heads", "hd", "ns", "shared_cache", "group_size", "interpret"
+    ),
 )
 def decode_layer_ring(
     x: jnp.ndarray,          # [B, 1, D] bf16 (T=1, B <= _BP)
@@ -1249,6 +1262,7 @@ def decode_layer_ring(
     hd: int,
     ns: int = 4,
     shared_cache: bool = False,
+    group_size: int = 0,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Whole decode layer with the manual ``ns``-slot DMA ring
@@ -1262,11 +1276,22 @@ def decode_layer_ring(
     CONSECUTIVE draft tokens of one sequence — all rows attend cache row
     0 (streamed ONCE, all-rows block updates on the MXU) and row r
     additionally folds draft rows 0..r from registers, so one pass
-    verifies B tokens for one weight stream (greedy_decode_spec)."""
+    verifies B tokens for one weight stream (greedy_decode_spec).
+
+    ``group_size=g`` is the BATCHED speculative-verify mode: the B rows
+    are B//g episodes x g draft tokens — row (b, j) streams episode b's
+    cache and folds its group's preceding draft rows, so one weight
+    stream verifies g tokens for EVERY episode at once
+    (greedy_decode_spec_batched).  Mutually exclusive with shared_cache."""
     B = x.shape[0]
     D = x.shape[-1]
     assert 1 <= B <= _BP, B
-    assert cache_k.shape[1] >= (1 if shared_cache else B)
+    assert not (shared_cache and group_size), "modes are mutually exclusive"
+    if group_size:
+        assert B % group_size == 0, (B, group_size)
+        assert cache_k.shape[1] >= B // group_size
+    else:
+        assert cache_k.shape[1] >= (1 if shared_cache else B)
     tmax = cache_k.shape[2]
     assert tmax % _ROWS == 0
     assert qkv.n == 3 * D and qkv.d == D and o.d == D and o.n == D
@@ -1334,6 +1359,7 @@ def decode_layer_ring(
         eps=eps, heads=heads, hd=hd, dblk=dblk, nblk=nblk, tmax=tmax,
         n_qkv=n_qkv, n_o=n_o, n_gu=n_gu, n_dn=n_dn, ns=ns,
         blocked=qkv.blocked, rows=B, shared=shared_cache,
+        group_size=group_size,
     )
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm = pl.BlockSpec(memory_space=pl.ANY)

@@ -357,6 +357,120 @@ def test_verify_fused_across_block_boundary(monkeypatch):
     )
 
 
+@pytest.mark.parametrize("B", [2, 3, 4])
+def test_spec_batched_matches_greedy_rowwise(B):
+    """Grouped speculation at B episodes: every row's emitted stream must
+    equal plain greedy_decode run on the whole batch (different prompt
+    lengths per row; XLA verify path)."""
+    cfg = _cfg()
+    params = phi3.init_phi3_params(jax.random.PRNGKey(30 + B), cfg)
+    rng = np.random.default_rng(30 + B)
+    T, n = 24, 10
+    embeds = jnp.asarray(
+        rng.normal(scale=0.5, size=(B, T, cfg.hidden_size)), jnp.bfloat16
+    )
+    valid = np.ones((B, T), bool)
+    for b in range(B):
+        valid[b, T - 3 * b - 2 : T - 3 * b] = False   # per-row holes
+    valid = jnp.asarray(valid)
+
+    ref = np.asarray(
+        jax.jit(lambda p, e, v: phi3.greedy_decode(p, cfg, e, v, n,
+                                                   stop_token=-1))(
+            params, embeds, valid)
+    )
+    got, stats = jax.jit(
+        lambda p, e, v: phi3.greedy_decode_spec_batched(
+            p, cfg, e, v, n, stop_token=-1, return_stats=True)
+    )(params, embeds, valid)
+    np.testing.assert_array_equal(np.asarray(got), ref)
+    assert int(np.max(np.asarray(stats["tokens"]))) == n
+
+
+def test_spec_batched_stop_per_row():
+    """Rows stop independently: pick a stop token one row emits early and
+    check row-wise padding semantics match plain greedy."""
+    cfg = _cfg()
+    params = phi3.init_phi3_params(jax.random.PRNGKey(33), cfg)
+    rng = np.random.default_rng(33)
+    B, T, n = 2, 24, 10
+    embeds = jnp.asarray(
+        rng.normal(scale=0.5, size=(B, T, cfg.hidden_size)), jnp.bfloat16
+    )
+    valid = jnp.asarray(np.ones((B, T), bool))
+    free = np.asarray(
+        jax.jit(lambda p, e, v: phi3.greedy_decode(p, cfg, e, v, n,
+                                                   stop_token=-1))(
+            params, embeds, valid)
+    )
+    stop = int(free[0, 3])   # row 0 stops early; row 1 maybe not
+    ref = np.asarray(
+        jax.jit(lambda p, e, v: phi3.greedy_decode(p, cfg, e, v, n,
+                                                   stop_token=stop))(
+            params, embeds, valid)
+    )
+    got = np.asarray(
+        jax.jit(lambda p, e, v: phi3.greedy_decode_spec_batched(
+            p, cfg, e, v, n, stop_token=stop))(params, embeds, valid)
+    )
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_verify_grouped_fused_matches_xla(monkeypatch):
+    """decode_layer_ring(group_size=g) == the XLA grouped verify pass:
+    B=2 episodes x g=3 drafts, per-episode caches/positions."""
+    cfg = _cfg()
+    qparams = _quantized_eligible(cfg, seed=13)
+    _interpret_ring(monkeypatch)
+    rng = np.random.default_rng(13)
+
+    B, g, T, total = 2, 3, 24, 512
+    D = cfg.hidden_size
+    embeds = jnp.asarray(
+        rng.normal(scale=0.5, size=(B, T, D)), jnp.bfloat16
+    )
+    av = np.ones((B, T), bool)
+    av[0, 10:12] = False
+    av[1, 18:24] = False   # different prompt lengths per row
+    av = jnp.asarray(av)
+    cache = phi3.init_cache(cfg, B, total, dtype=jnp.bfloat16)
+    positions = jnp.maximum(jnp.cumsum(av.astype(jnp.int32), 1) - 1, 0)
+    mask = phi3.prefill_mask(av, total)
+    _, cache = phi3.forward(qparams, cfg, embeds, positions, cache, 0, mask)
+
+    valid = np.zeros((B, total), bool)
+    valid[:, :T] = np.asarray(av)
+    valid = jnp.asarray(valid)
+    n_pos0 = jnp.sum(av.astype(jnp.int32), axis=1)
+    wslot = jnp.asarray([T, T + 2], jnp.int32)   # rows at different slots
+    e = jnp.asarray(rng.normal(scale=0.5, size=(B, g, D)), jnp.bfloat16)
+
+    lg_ref, c_ref = phi3._verify_forward_grouped(
+        qparams, cfg, e, n_pos0, cache, wslot, valid, use_fused=False
+    )
+    flat = phi3.KVCache(
+        cache.k.reshape(cfg.num_layers, B, total, D),
+        cache.v.reshape(cfg.num_layers, B, total, D),
+    )
+    lg_f, c_f = phi3._verify_forward_grouped(
+        qparams, cfg, e, n_pos0, flat, wslot, valid, use_fused=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(lg_f, np.float32), np.asarray(lg_ref, np.float32),
+        rtol=5e-2, atol=5e-2,
+    )
+    np.testing.assert_array_equal(
+        np.argmax(np.asarray(lg_f), -1), np.argmax(np.asarray(lg_ref), -1)
+    )
+    for b, w in enumerate([T, T + 2]):
+        np.testing.assert_allclose(
+            np.asarray(c_f.k[:, b, w : w + g], np.float32),
+            np.asarray(c_ref.k[:, b, w : w + g], np.float32).reshape(
+                cfg.num_layers, g, D),
+            rtol=3e-2, atol=3e-2,
+        )
+
+
 def test_spec_through_episode_runner(monkeypatch):
     """DYNAM3D_SPEC_DECODE through the full closed loop: EpisodeRunner
     builds lookup ids from the prompt (image span/pads masked to -1), the
