@@ -142,14 +142,13 @@ def generate(
             max_new_tokens or cfg.max_new_tokens,
             lookup_ids=lookup_ids,
         )
-    if flags.SPEC_DECODE and B == 2 and (max_new_tokens or cfg.max_new_tokens) >= 2:
+    if flags.SPEC_DECODE and 2 <= B <= 4 and (max_new_tokens or cfg.max_new_tokens) >= 2:
         # grouped speculation: B episodes x (8 // B) drafts share one
-        # weight stream per verify pass.  Default-on at B=2 only: the
-        # grouped kernel currently re-streams each episode's KV cache
-        # once per draft row, so the measured pass cost is ~11 ms at
-        # B=2 (forced-accept 2.75 vs plain 4.16 ms/tok — wins above
-        # ~66% acceptance) but 13.5 ms at B=4 (forced-accept 6.78 vs
-        # plain 5.59 — never wins); see docs/BENCH_NOTES.md.
+        # weight stream per verify pass; each episode's cache streams
+        # once per pass (per-group shared block updates).  Measured
+        # (docs/BENCH_NOTES.md): forced-accept 1.15 vs plain 4.16
+        # ms/tok at B=2 (all-miss pass 4.64 — break-even ~12%
+        # acceptance), 2.91 vs 5.60 at B=4 (all-miss 5.76, ~3%).
         return phi3.greedy_decode_spec_batched(
             params["phi3"],
             cfg.phi3,

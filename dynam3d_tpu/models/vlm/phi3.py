@@ -795,6 +795,13 @@ def _verify_forward_grouped(
         mask_rows = jnp.repeat(valid, g, axis=0)          # [B*g, Tmax]
         posr = jnp.repeat(wslot, g)                       # [B*g] (nlive)
         ck, cv = cache.k, cache.v
+        # per-episode write slots differ (each row's accepted count does),
+        # so the cache write is a direct scatter into the carried cache —
+        # NOT a per-layer ck[li] gather + vmapped update + write-back,
+        # which would copy the whole [B,Tmax,D] layer slab (~24 MB/layer)
+        # twice per layer and dominate the pass
+        bidx = jnp.arange(B)[:, None]
+        slots = wslot[:, None] + gg[None, :]              # [B,g]
         for li in range(cfg.num_layers):
             p = params["layers"][li]
             x, k_new, v_new = decode_layer_ring(
@@ -806,14 +813,8 @@ def _verify_forward_grouped(
             )
             kb = k_new.reshape(B, g, D)
             vb = v_new.reshape(B, g, D)
-            ckli = jax.vmap(
-                lambda c, kk, w: jax.lax.dynamic_update_slice(c, kk, (w, 0))
-            )(ck[li], kb, wslot)
-            cvli = jax.vmap(
-                lambda c, vv, w: jax.lax.dynamic_update_slice(c, vv, (w, 0))
-            )(cv[li], vb, wslot)
-            ck = jax.lax.dynamic_update_slice(ck, ckli[None], (li, 0, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, cvli[None], (li, 0, 0, 0))
+            ck = ck.at[li, bidx, slots, :].set(kb)
+            cv = cv.at[li, bidx, slots, :].set(vb)
         x = rms_norm(params["final_ln"], x.reshape(B, g, D), cfg.rms_eps)
         return _lm_head(params, x), KVCache(ck, cv)
 
@@ -826,17 +827,13 @@ def _verify_forward_grouped(
     m = valid[:, None, :] | row_extra
     x = e
     ck, cv = cache.k, cache.v
+    bidx = jnp.arange(B)[:, None]
+    slots = wslot[:, None] + gg[None, :]                  # [B,g]
     for li in range(cfg.num_layers):
         p = params["layers"][li]
         q, k, v = _qkv(p, cfg, x, pos)
-        ckli = jax.vmap(
-            lambda c, kk, w: jax.lax.dynamic_update_slice(c, kk, (w, 0, 0))
-        )(ck[li], k, wslot)
-        cvli = jax.vmap(
-            lambda c, vv, w: jax.lax.dynamic_update_slice(c, vv, (w, 0, 0))
-        )(cv[li], v, wslot)
-        ck = jax.lax.dynamic_update_slice(ck, ckli[None], (li, 0, 0, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, cvli[None], (li, 0, 0, 0, 0))
+        ck = ck.at[li, bidx, slots].set(k)
+        cv = cv.at[li, bidx, slots].set(v)
         x = _attn_mlp(p, cfg, x, q, ck[li], cv[li], m)
     x = rms_norm(params["final_ln"], x, cfg.rms_eps)
     return _lm_head(params, x), KVCache(ck, cv)

@@ -201,9 +201,9 @@ def _attn_fold_current(q, k_new, v_new, m, l, acc, seg, segt, scale):
 
 
 def _attn_block_update_shared(
-    q_seg, kb, vb, mb, m, l, abuf, segt, scale, rows, heads
+    q_seg, kb, vb, mb, m, l, abuf, segt, scale, rows, heads, row0=0
 ):
-    """Online-softmax update over one ``[_ROWS, D]`` KV block for ALL
+    """Online-softmax update over one ``[_ROWS, D]`` KV block for
     ``rows`` query rows AT ONCE (the speculative-verify path: every row
     attends the SAME cache, so re-streaming it per row would multiply the
     KV bytes by ``rows``).
@@ -212,7 +212,10 @@ def _attn_block_update_shared(
     column group, so the block's logits for every (row, head) pair come
     out of ONE MXU dot ``kb @ q_seg``; ``m``/``l`` carry ``[1, rows*H]``
     and the f32 context accumulators live in the ``abuf [_BP, D]``
-    scratch (combined per row with the ``segt`` head mask)."""
+    scratch rows ``row0..row0+rows`` (combined per row with the ``segt``
+    head mask).  ``row0 > 0`` is the grouped-verify case: the caller
+    narrows ``q_seg`` to one group's columns so each group's cache stream
+    only pays its OWN rows' MXU scoring, not the full batch's."""
     logits = (
         jnp.dot(kb, q_seg, preferred_element_type=jnp.float32) * scale
     )                                                 # [_ROWS, rows*H]
@@ -236,7 +239,9 @@ def _attn_block_update_shared(
             alpha[:, r * heads : (r + 1) * heads].astype(jnp.bfloat16),
             segt, preferred_element_type=jnp.float32,
         )
-        abuf[r : r + 1, :] = abuf[r : r + 1, :] * a_r + contrib
+        abuf[row0 + r : row0 + r + 1, :] = (
+            abuf[row0 + r : row0 + r + 1, :] * a_r + contrib
+        )
     return m_new, l_new
 
 
@@ -1100,14 +1105,86 @@ def _decode_ring_kernel(
                 )
             cbuf[r : r + 1, :] = _attn_normalize(l_r, acc_r, segt)
 
+    if group_size and not shared:
+        # GROUPED speculative verify (batched multi-episode speculation):
+        # row b is draft token b % group_size of episode b // group_size.
+        # Each group's episode cache streams ONCE — the all-rows block
+        # update scores every row against it on the MXU, and only that
+        # group's rows are harvested (with causal register folds over the
+        # group's preceding draft k/v) before the m/l/abuf accumulators
+        # are re-initialized for the next group's stream.  KV bytes are
+        # therefore sum-of-episode-caches, the same as plain batched
+        # decode — not group_size x that, as per-row streaming would be.
+        # Each group's block update scores only its OWN group_size*H
+        # query columns (q_seg sliced per group), so the MXU scoring work
+        # totals one full-batch pass, not G x it.
+        gh = group_size * heads
+        q_seg = jax.lax.dot_general(
+            q_all, e_ref[:],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                               # [D, _BP*H]
+        q_seg = (q_seg * stile_ref[:]).astype(jnp.bfloat16)
+        abuf[:] = jnp.zeros((abuf.shape[0], D), jnp.float32)
+        for gi in range(rows // group_size):
+            b0 = gi * group_size
+            q_seg_g = q_seg[:, b0 * heads : (b0 + group_size) * heads]
+            nlive = nlive_of(b0)
+            if gi > 0:
+                # group 0's first blocks were issued from the qkv
+                # stream's tail; later groups prime their own here —
+                # sequencing after the previous group's loop reuses the
+                # same 2 slots safely
+                @pl.when(nlive > 0)
+                def _(gi=gi):
+                    k, v = kv_dma(gi, 0, 0)
+                    k.start(); v.start()
+                if nb_kv > 1:
+                    @pl.when(nlive > 1)
+                    def _(gi=gi):
+                        k, v = kv_dma(gi, 1, 1)
+                        k.start(); v.start()
+
+            def attn_block_g(tb, carry, gi=gi, b0=b0, q_seg_g=q_seg_g):
+                slot = jax.lax.rem(tb, 2)
+                nl = nlive_of(b0)
+
+                @pl.when((tb + 1 < nl) & (tb + 1 >= 2))
+                def _():
+                    k, v = kv_dma(gi, jax.lax.rem(tb + 1, 2), tb + 1)
+                    k.start(); v.start()
+
+                k, v = kv_dma(gi, slot, tb)
+                k.wait(); v.wait()
+                mb = mask_ref[pl.ds(tb * _ROWS, _ROWS), b0 : b0 + 1]
+                m, l = _attn_block_update_shared(
+                    q_seg_g, kbuf[slot], vbuf[slot], mb, *carry,
+                    abuf, segt, scale, group_size, heads, row0=b0,
+                )
+                return m, l
+
+            m0 = jnp.full((1, gh), _NEG, jnp.float32)
+            l0 = jnp.zeros((1, gh), jnp.float32)
+            m, l = jax.lax.fori_loop(0, nlive, attn_block_g, (m0, l0))
+            for j in range(group_size):
+                r = b0 + j
+                q_r = q_all[r : r + 1]
+                m_r = m[:, j * heads : (j + 1) * heads]
+                l_r = l[:, j * heads : (j + 1) * heads]
+                acc_r = abuf[r : r + 1, :]
+                for jj in range(b0, r):
+                    m_r, l_r, acc_r = _attn_fold_one(
+                        q_r, k_all[jj : jj + 1], v_all[jj : jj + 1],
+                        m_r, l_r, acc_r, seg, segt, scale,
+                    )
+                cbuf[r : r + 1, :] = _attn_fold_current(
+                    q_r, k_all[r : r + 1], v_all[r : r + 1],
+                    m_r, l_r, acc_r, seg, segt, scale,
+                )
+
     # per-row attention, sequential over the (static) batch rows; the
-    # weight ring keeps streaming o/gate_up blocks underneath.
-    # group_size > 0 is GROUPED speculative verify: row b is draft token
-    # b % group_size of episode b // group_size — it streams its
-    # episode's cache and folds its group's preceding draft rows from
-    # registers before its own k/v (batched multi-episode speculation)
-    for b in range(rows if not shared else 0):
-        cb = b // group_size if group_size else b   # cache row for row b
+    # weight ring keeps streaming o/gate_up blocks underneath
+    for b in range(0 if (shared or group_size) else rows):
         q = q_all[b : b + 1]
         k_new = k_all[b : b + 1]
         v_new = v_all[b : b + 1]
@@ -1119,15 +1196,15 @@ def _decode_ring_kernel(
             # previous row's loop reuses the same 2 slots safely
             @pl.when(nlive > 0)
             def _():
-                k, v = kv_dma(cb, 0, 0)
+                k, v = kv_dma(b, 0, 0)
                 k.start(); v.start()
             if nb_kv > 1:
                 @pl.when(nlive > 1)
                 def _():
-                    k, v = kv_dma(cb, 1, 1)
+                    k, v = kv_dma(b, 1, 1)
                     k.start(); v.start()
 
-        def attn_block(tb, carry, b=b, cb=cb):
+        def attn_block(tb, carry, b=b):
             slot = jax.lax.rem(tb, 2)
             nl = nlive_of(b)
 
@@ -1137,10 +1214,10 @@ def _decode_ring_kernel(
             # runtime-INTERNAL crash on hardware)
             @pl.when((tb + 1 < nl) & (tb + 1 >= 2))
             def _():
-                k, v = kv_dma(cb, jax.lax.rem(tb + 1, 2), tb + 1)
+                k, v = kv_dma(b, jax.lax.rem(tb + 1, 2), tb + 1)
                 k.start(); v.start()
 
-            k, v = kv_dma(cb, slot, tb)
+            k, v = kv_dma(b, slot, tb)
             k.wait(); v.wait()
             mb = mask_ref[pl.ds(tb * _ROWS, _ROWS), b : b + 1]
             return _attn_block_update(
@@ -1152,12 +1229,6 @@ def _decode_ring_kernel(
         acc0 = jnp.zeros((1, D), jnp.float32)
         m, l, acc = jax.lax.fori_loop(0, nlive, attn_block, (m0, l0, acc0))
 
-        if group_size:
-            for j in range((b // group_size) * group_size, b):
-                m, l, acc = _attn_fold_one(
-                    q, k_all[j : j + 1], v_all[j : j + 1],
-                    m, l, acc, seg, segt, scale,
-                )
         ctx = _attn_fold_current(
             q, k_new, v_new, m, l, acc, seg, segt, scale
         )
@@ -1344,7 +1415,7 @@ def decode_layer_ring(
 
     # shared-cache constants: E packs each row's q into its own column
     # group (q_seg = q_all^T E), seg_tiled masks each group to its head
-    if shared_cache:
+    if shared_cache or group_size:
         e_np = np.zeros((_BP, _BP * heads), np.float32)
         for r in range(_BP):
             e_np[r, r * heads : (r + 1) * heads] = 1.0
