@@ -29,7 +29,12 @@ import numpy as np
 
 def _np(x) -> np.ndarray:
     if hasattr(x, "detach"):
-        x = x.detach().cpu().numpy()
+        x = x.detach().cpu()
+        # torch bf16/fp16 tensors refuse .numpy(); real llava-phi-3 ckpts
+        # are stored bf16 (Policy_Dynam3D_VLN.py:117 torch_dtype=bfloat16)
+        if str(x.dtype) in ("torch.bfloat16", "torch.float16"):
+            x = x.float()
+        x = x.numpy()
     return np.asarray(x)
 
 
@@ -391,9 +396,16 @@ def phi3_params_from_torch(sd: Mapping, num_layers: int, dtype=jnp.bfloat16) -> 
 
 
 def llava_projector_from_torch(sd: Mapping) -> Dict[str, Any]:
+    # transformers<4.52 stores the projector at top level; >=4.52 nests it
+    # under "model." (verified against a meta-device LlavaForConditionalGeneration)
+    prefix = (
+        "multi_modal_projector"
+        if "multi_modal_projector.linear_1.weight" in sd
+        else "model.multi_modal_projector"
+    )
     return {
-        "fc1": dense_from_torch(sd, "multi_modal_projector.linear_1"),
-        "fc2": dense_from_torch(sd, "multi_modal_projector.linear_2"),
+        "fc1": dense_from_torch(sd, f"{prefix}.linear_1"),
+        "fc2": dense_from_torch(sd, f"{prefix}.linear_2"),
     }
 
 

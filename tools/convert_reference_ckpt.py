@@ -33,7 +33,9 @@ import jax
 import jax.numpy as jnp
 
 
-def _load_sd(path: str):
+def _load_sd(path):
+    if isinstance(path, dict):  # in-memory state dict (tools/parity_run.py)
+        return path
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
@@ -74,11 +76,58 @@ def convert(cfg, paths: dict):
     if paths.get("llava"):
         sd = _load_sd(paths["llava"])
         params["llava"] = {
-            "clip": ck.clip_vision_from_hf(sd, cfg.clip.vision_layers),
+            # encode_image reads the tower under "visual"; the HF ckpt has
+            # no text tower, so the init one is kept (LLaVA never uses it)
+            "clip": {
+                "visual": ck.clip_vision_from_hf(sd, cfg.clip.vision_layers),
+                "text": params["llava"]["clip"]["text"],
+            },
             "projector": ck.llava_projector_from_torch(sd),
             "phi3": ck.phi3_params_from_torch(sd, cfg.llava.phi3.num_layers),
         }
         report["llava"] = "llava"
+    if paths.get("vln"):
+        # trainer checkpoint ckpt.iterN.pth: the whole policy under "net."
+        # (ss_trainer_Dynam3D.py:75-84); DDP runs leave "net.module.".
+        sd = ck.strip_prefix(_load_sd(paths["vln"]), "net.")
+        sd = {
+            (k[len("module."):] if k.startswith("module.") else k): v
+            for k, v in sd.items()
+        }
+
+        def sub(prefix):
+            return {k[len(prefix):]: v for k, v in sd.items()
+                    if k.startswith(prefix)}
+
+        fields_part = sub("feature_fields.")
+        if fields_part:
+            params["fields"] = ck.field_params_from_torch(fields_part)
+            report["fields"] = "vln"
+        llava_part = sub("llava.")
+        if llava_part:
+            params["llava"] = {
+                "clip": {
+                    "visual": ck.clip_vision_from_hf(
+                        llava_part, cfg.clip.vision_layers
+                    ),
+                    "text": params["llava"]["clip"]["text"],
+                },
+                "projector": ck.llava_projector_from_torch(llava_part),
+                "phi3": ck.phi3_params_from_torch(
+                    llava_part, cfg.llava.phi3.num_layers
+                ),
+            }
+            report["llava"] = "vln"
+        for ours, theirs in (
+            ("patch_pos_emb", "patch_position_embedding"),
+            ("inst_pos_emb", "instance_position_embedding"),
+            ("zone_pos_emb", "zone_position_embedding"),
+            ("inst_proj", "instance_projector"),
+            ("zone_proj", "zone_projector"),
+        ):
+            if f"{theirs}.0.weight" in sd:
+                params[ours] = ck.mlp2_from_torch(sd, theirs)
+                report[ours] = "vln"
     if paths.get("fastsam"):
         sd = _load_sd(paths["fastsam"])
         params["yolo"] = ck.yolov8_params_from_torch(
@@ -106,14 +155,15 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out", required=True)
     p.add_argument("--exp-config", default=None)
-    for name in ("dynam3d", "pretrain", "llava", "clip", "fastsam",
+    for name in ("dynam3d", "pretrain", "vln", "llava", "clip", "fastsam",
                  "waypoint", "ddppo"):
         p.add_argument(f"--{name}", default=None)
     args = p.parse_args(argv)
 
     cfg = load(args.exp_config) if args.exp_config else Dynam3DConfig()
     paths = {k: getattr(args, k) for k in
-             ("dynam3d", "pretrain", "llava", "clip", "fastsam", "waypoint", "ddppo")}
+             ("dynam3d", "pretrain", "vln", "llava", "clip", "fastsam",
+              "waypoint", "ddppo")}
     params, extras, report = convert(cfg, paths)
     path = save_checkpoint(args.out, 0, {"params": params, **extras})
     n = sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
