@@ -348,7 +348,241 @@ def _phase_breakdown(runner, params, cfg, state, obs, hist, rep, B, steps=6):
         out_fields["decode_hbm_pct"] = round(
             100 * (dec_bytes + kv_bytes) / (dec_per_tok / 1e3) / peak_bw, 1
         )
+    else:
+        # measured speculation stats for THIS bench's decode stream
+        # (random weights: often the drafting best case — the realistic-
+        # text acceptance study lives in tools/spec_acceptance.py and
+        # docs/BENCH_NOTES.md)
+        def gen_stats(p, ids, tv, mm, mv):
+            emb = llava_mod.splice_embeds(
+                p["llava"], cfg.llava, ids, mm, splice
+            )
+            av = jax.lax.dynamic_update_slice(tv, mv, (0, splice))
+            lookup = jnp.where(tv & (ids != p3.image_token_id), ids, -1)
+            _, st = phi3_mod.greedy_decode_spec(
+                p["llava"]["phi3"], p3, emb, av, new_tok,
+                lookup_ids=lookup, return_stats=True,
+            )
+            return st["tokens"], st["passes"]
+
+        toks, passes = jax.jit(gen_stats)(
+            params, ids, tvalid, out.mm_tokens, out.mm_valid
+        )
+        toks, passes = int(np.asarray(toks)), int(np.asarray(passes))
+        out_fields["spec_tokens"] = toks
+        out_fields["spec_passes"] = passes
+        out_fields["spec_tokens_per_pass"] = round(toks / max(passes, 1), 2)
     return out_fields
+
+
+def train_bench():
+    """DYNAM3D_BENCH_MODE=train: the jitted IL training step on the chip at
+    full dims (the reference spends 2/3 of its life here:
+    ss_trainer_Dynam3D.py:786-798 — perceive + teacher-forced prefill +
+    backward + Adafactor).  Reports step p50 and achieved model FLOPs
+    utilization (fwd+bwd ~= 3x forward FLOPs over the trained LLM)."""
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.environ.get("DYNAM3D_XLA_CACHE", "/tmp/dynam3d_xla_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from dynam3d_tpu.models import policy as policy_mod
+    from dynam3d_tpu.models.vlm.tokenizer import ByteTokenizer, build_prompt
+    from dynam3d_tpu.runtime import trainer_vln
+    from dynam3d_tpu.runtime.feed import SyntheticRoomFeed
+
+    scale = os.environ.get("DYNAM3D_BENCH_SCALE", "full")
+    steps = int(os.environ.get("DYNAM3D_BENCH_STEPS", "8"))
+    cfg = _config(scale)
+    params = policy_mod.init_policy_params(jax.random.PRNGKey(0), cfg)
+    trainable, frozen = trainer_vln.split_params(params)
+    optimizer = trainer_vln.make_optimizer(cfg)
+    opt_state = optimizer.init(trainable)
+
+    from dynam3d_tpu.models.policy import I_ENV, Z_ENV
+
+    tok = ByteTokenizer(cfg.llava.phi3.vocab_size)
+    n_mm = cfg.fields.input_height * cfg.fields.input_width + I_ENV + Z_ENV
+    probe = tok.encode(build_prompt("x", ["none\n"] * 4, 1))
+    splice = probe.index(tok.image_id)
+    step = jax.jit(
+        trainer_vln.make_train_step(cfg, optimizer, splice),
+        donate_argnums=(0, 2, 3),
+    )
+
+    feed = SyntheticRoomFeed(
+        rgb_size=cfg.clip.image_size,
+        depth_size=256 if scale == "full" else 32, views=1,
+    )
+    obs = feed.reset()
+    gt = "turn left 2 steps, move forward 4 steps."
+    instruction = "walk past the sofa and stop at the door"
+    ids_l = tok.encode(build_prompt(instruction, ["none\n"] * 4, n_mm, gt))
+    label_ids = tok.encode(gt, add_bos=False)
+    bucket = cfg.llava.prefill_bucket
+    T = (len(ids_l) + bucket - 1) // bucket * bucket
+    ids = np.full((1, T), tok.pad_id, np.int32)
+    valid = np.zeros((1, T), bool)
+    ids[0, : len(ids_l)] = ids_l
+    valid[0, : len(ids_l)] = True
+    Tg = len(label_ids)
+    batch = trainer_vln.TrainBatch(
+        rgb=jnp.asarray(obs.rgb[None, :1]),
+        depth=jnp.asarray(np.asarray(obs.depth[None, :1], np.float32)),
+        position=jnp.asarray(np.asarray(obs.position[None], np.float32)),
+        heading=jnp.asarray(np.float32([obs.heading])),
+        input_ids=jnp.asarray(ids),
+        text_valid=jnp.asarray(valid),
+        label_ids=jnp.asarray(np.asarray([label_ids], np.int32)),
+        label_mask=jnp.ones((1, Tg), bool),
+        turn_weight=jnp.asarray([1.0], jnp.float32),
+    )
+    field_state = policy_mod.batched_init_state(cfg, 1)
+
+    t0 = time.time()
+    trainable, opt_state, field_state, m = step(
+        trainable, frozen, opt_state, field_state, batch
+    )
+    _sync(m["loss"])
+    compile_s = time.time() - t0
+    lat = []
+    loss = grad_norm = 0.0
+    for _ in range(steps):
+        t0 = time.time()
+        trainable, opt_state, field_state, m = step(
+            trainable, frozen, opt_state, field_state, batch
+        )
+        host = np.asarray(
+            jnp.stack([m["loss"].astype(jnp.float32),
+                       m["grad_norm"].astype(jnp.float32)])
+        )
+        lat.append(time.time() - t0)
+        loss, grad_norm = float(host[0]), float(host[1])
+    p50 = float(np.percentile(lat, 50) * 1000.0)
+
+    # achieved MFU: fwd+bwd over the trained LLM dominates (3x forward);
+    # count the full prompt length (every token is teacher-forced)
+    p3 = cfg.llava.phi3
+    n_params, _ = _llm_flops_bytes(params["llava"]["phi3"], cfg)
+    n_tok = int(valid.sum())
+    flops = 3 * (2 * n_tok * n_params
+                 + 4 * p3.num_layers * n_tok * n_tok * p3.hidden_size)
+    mfu = 100 * flops / (p50 / 1e3) / 197e12  # bf16 training matmuls
+    print(json.dumps({
+        "metric": "train_step_p50_ms",
+        "value": round(p50, 2),
+        "unit": "ms",
+        "vs_baseline": None,
+        "extra": {
+            "baseline": "unmeasured",
+            "compile_s": round(compile_s, 1),
+            "scale": scale,
+            "llm_layers": p3.num_layers,
+            "prompt_tokens": n_tok,
+            "train_mfu_pct": round(mfu, 1),
+            "steps_per_sec": round(1000.0 / p50, 2),
+            "loss": round(loss, 4),
+            "grad_norm": round(grad_norm, 3),
+            "backend": jax.default_backend(),
+        },
+    }))
+
+
+def pretrain_bench():
+    """DYNAM3D_BENCH_MODE=pretrain: one full 3DFF pretrain iteration on the
+    chip (ss_trainer_3DFF.py:504-519 / :1263-1296): 16 posed frames CLIP-
+    encoded and folded into the memory, all 16 views rendered back through
+    the nerf heads, the full loss family, AdamW update.  Reports iteration
+    p50 + the build_batch (CLIP encode) / step (fold+render+losses) split."""
+    import jax
+
+    cache_dir = os.environ.get("DYNAM3D_XLA_CACHE", "/tmp/dynam3d_xla_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from dynam3d_tpu.models import policy as policy_mod
+    from dynam3d_tpu.models.memory3d import init_state
+    from dynam3d_tpu.runtime.pretrain_loop import (
+        PretrainRunner, SyntheticFramesDataset,
+    )
+
+    scale = os.environ.get("DYNAM3D_BENCH_SCALE", "full")
+    iters = int(os.environ.get("DYNAM3D_BENCH_STEPS", "4"))
+    frames = int(os.environ.get("DYNAM3D_BENCH_FRAMES", "16"))
+    cfg = _config(scale)
+    if scale == "tiny":  # novel-view ray grid must divide the 4x4 patch grid
+        from dynam3d_tpu.config import apply_opts
+
+        cfg = apply_opts(cfg, ["fields.view_height=2", "fields.view_width=2"])
+    params = policy_mod.init_policy_params(jax.random.PRNGKey(0), cfg)
+    from dynam3d_tpu.models.render.nerf import init_render_params
+
+    pr_params = {
+        "fields": params["fields"],
+        "render": init_render_params(jax.random.PRNGKey(1), cfg.fields),
+        "clip": params["clip"],
+    }
+    runner = PretrainRunner(pr_params, cfg)
+    ds = SyntheticFramesDataset(
+        rgb_size=cfg.clip.image_size,
+        depth_size=256 if scale == "full" else 32,
+        frames=frames,
+    )
+
+    # warm compile (scene shapes are static across iterations)
+    t0 = time.time()
+    runner.run([ds], iters=1)
+    compile_s = time.time() - t0
+
+    # phase split: CLIP encode+batch build vs the jitted fold/render/loss step
+    scene = ds.sample_scene()
+    t0 = time.time()
+    batch = runner.build_batch(scene, pr_params["clip"])
+    _sync(batch.grid_fts)
+    build_ms = (time.time() - t0) * 1000.0
+
+    trainable = {"fields": runner.params["fields"],
+                 "render": runner.params["render"]}
+    runner._ensure_opt(trainable)
+    step = runner._get_step(posed="intrinsics" in scene)
+    fs = init_state(cfg.fields)
+    t0 = time.time()
+    _, _, _, metrics = step(trainable, runner._tr_opt, fs, batch)
+    _sync(metrics["loss"])
+    step_ms = (time.time() - t0) * 1000.0
+
+    lat, last = [], {}
+    for _ in range(iters):
+        t0 = time.time()
+        hist = runner.run([ds], iters=1)
+        lat.append(time.time() - t0)
+        last = hist[-1]
+    p50 = float(np.percentile(lat, 50) * 1000.0)
+    print(json.dumps({
+        "metric": "pretrain_iter_p50_ms",
+        "value": round(p50, 2),
+        "unit": "ms",
+        "vs_baseline": None,
+        "extra": {
+            "baseline": "unmeasured",
+            "compile_s": round(compile_s, 1),
+            "scale": scale,
+            "frames": frames,
+            "build_batch_ms": round(build_ms, 1),
+            "grad_step_ms": round(step_ms, 1),
+            "iters_per_sec": round(1000.0 / p50, 3),
+            "loss": round(float(last.get("loss", float("nan"))), 4),
+            "backend": jax.default_backend(),
+        },
+    }))
 
 
 def serve_bench():
@@ -470,6 +704,10 @@ def main():
         return render_bench()
     if os.environ.get("DYNAM3D_BENCH_MODE") == "serve":
         return serve_bench()
+    if os.environ.get("DYNAM3D_BENCH_MODE") == "train":
+        return train_bench()
+    if os.environ.get("DYNAM3D_BENCH_MODE") == "pretrain":
+        return pretrain_bench()
 
     # persistent compile cache: the tunnel makes cold compiles ~10min at full
     # scale; warm runs start in seconds.
@@ -632,6 +870,19 @@ def main():
     )
 
 
+def _apply_platform_env():
+    """sitecustomize pre-registers the tunneled TPU backend, so the
+    JAX_PLATFORMS env var alone cannot switch platforms — route it through
+    jax.config (tests/conftest.py does the same)."""
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        except Exception:
+            pass
+
+
 def _watchdog_main():
     """Bound the whole run: if the tunnel/device stalls (observed failure
     mode: a killed transfer wedges the remote session and every dispatch
@@ -658,6 +909,7 @@ def _watchdog_main():
 
     signal.signal(signal.SIGALRM, on_alarm)
     signal.alarm(budget)
+    _apply_platform_env()
     main()
     signal.alarm(0)
 

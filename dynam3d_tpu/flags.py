@@ -47,22 +47,13 @@ INT4_PER_SHAPE_NBLK: bool = _on("DYNAM3D_INT4_PER_SHAPE_NBLK")
 #: unfused (tools/ab_fused_decode.py, docs/BENCH_NOTES.md round 3).
 FUSED_DECODE_ATTN: bool = _on("DYNAM3D_FUSED_ATTN", "1")
 
-#: Whole-layer fused decode kernel (ops/pallas_decode.py::decode_layer):
-#: qkv + rope + cached attention + o-proj + norm + SwiGLU MLP + residuals in
-#: ONE grid-pipelined program per layer.  MEASURED NEUTRAL vs the
-#: two-program split (4.06 vs 4.04 ms/token, tools/ab_fused_decode.py
-#: 8->128 chains; docs/BENCH_NOTES.md round 3) — the grid pipeline's
-#: one-block lookahead cannot keep the HBM bus busy through the ~25 us
-#: attention step, so merging the programs buys nothing.  Kept opt-in as
-#: the starting point for a manual-ring rewrite.  Only reached when
-#: FUSED_DECODE_ATTN is also on (it gates the fused decode dispatch).
-FUSED_DECODE_LAYER: bool = _on("DYNAM3D_FUSED_LAYER")
-
 #: Manual-ring whole-layer decode kernel (decode_layer_ring): qkv/o/gate_up
 #: column blocks share one deep DMA ring in consumption order, so the HBM
-#: bus keeps streaming through the attention step (the one-block-lookahead
-#: limitation that made the grid-pipelined decode_layer neutral).  Takes
-#: precedence over FUSED_DECODE_LAYER when both are set and eligible.
+#: bus keeps streaming through the attention step.  (A grid-pipelined
+#: whole-layer variant measured NEUTRAL — 4.06 vs 4.04 ms/token — because
+#: its one-block lookahead leaves the bus idle through the ~25 us attention
+#: step; it was deleted in round 4 once the ring superseded it, see
+#: docs/BENCH_NOTES.md round 3 "whole-layer fusion".)
 #: On-chip: 3.53 ms/token vs 3.95 split / 4.19 unfused (8->128 chains,
 #: docs/BENCH_NOTES.md round 3) — default ON.
 FUSED_DECODE_RING: bool = _on("DYNAM3D_FUSED_RING", "1")

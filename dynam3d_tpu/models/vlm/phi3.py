@@ -305,9 +305,9 @@ def _ring_eligible(params: Params, cfg: Phi3Config) -> bool:
 
 
 def _fused_layer_eligible(params: Params, cfg: Phi3Config) -> bool:
-    """STRUCTURAL eligibility for the whole-layer kernels (grid-pipelined
-    or manual-ring): the MLP weights must be packed int4 with the same
-    block sizes as the attention ones.  Callers apply the flags."""
+    """STRUCTURAL eligibility for the whole-layer ring kernel: the MLP
+    weights must be packed int4 with the same block sizes as the attention
+    ones.  Callers apply the flags."""
     p0 = params["layers"][0]
     qkv = p0["qkv"]["q4"]
     o = p0["o"]["q4"]
@@ -342,7 +342,7 @@ def _decode_forward_fused(
     program (``decode_attn_layer``) + the fused int4 MLP kernel as a
     second program (B = 1 only)."""
     from dynam3d_tpu.ops.pallas_decode import (
-        decode_attn_layer, decode_layer, decode_layer_ring,
+        decode_attn_layer, decode_layer_ring,
     )
 
     B = embeds.shape[0]
@@ -357,12 +357,7 @@ def _decode_forward_fused(
     from dynam3d_tpu.ops.pallas_int4 import int4_mlp_block
 
     use_ring = _ring_eligible(params, cfg)
-    use_layer = (
-        not use_ring
-        and flags.FUSED_DECODE_LAYER
-        and _fused_layer_eligible(params, cfg)
-    )
-    whole_layer = use_ring or use_layer
+    whole_layer = use_ring
     assert B == 1 or use_ring, "B > 1 fused decode requires the ring kernel"
     x = embeds
     ck, cv = cache.k, cache.v
@@ -375,13 +370,6 @@ def _decode_forward_fused(
                 ck, cv, li, write_at, mask_rows, cos, sin,
                 eps=cfg.rms_eps, heads=cfg.num_heads, hd=cfg.head_dim,
                 ns=flags.FUSED_RING_SLOTS,
-            )
-        elif use_layer:
-            x, k_new, v_new = decode_layer(
-                x, p["input_ln"], p["qkv"]["q4"], p["o"]["q4"],
-                p["post_ln"], p["gate_up"]["q4"], p["down"]["q4"],
-                ck, cv, li, write_at, mask_rows[0], cos[0], sin[0],
-                eps=cfg.rms_eps, heads=cfg.num_heads, hd=cfg.head_dim,
             )
         else:
             x, k_new, v_new = decode_attn_layer(

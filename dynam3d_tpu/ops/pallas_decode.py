@@ -486,395 +486,6 @@ def decode_attn_layer(
     return out.reshape(1, 1, D), k_new, v_new
 
 # ---------------------------------------------------------------------------
-# Whole-layer fusion: attention half + MLP half in ONE grid-pipelined program
-# ---------------------------------------------------------------------------
-
-def _decode_layer_kernel(
-    # scalar prefetch
-    li_ref, pos_ref,
-    # array inputs (blocked streams carry a per-grid-step column block)
-    x_ref,            # [_BP, D] bf16 (row 0 real): residual input
-    ln1_ref,          # [1, D] f32 input_ln weight
-    ln2_ref,          # [1, D] f32 post-attention ln weight
-    qkv_blk, qkv_sl, qkv_sh,    # streamed [D, nblk] + [g, nblk] scales
-    o_blk, o_sl, o_sh,
-    gu_blk, gu_sl, gu_sh,
-    dn_blk, dn_sl, dn_sh,       # [ip, nblk] + [g_dn, nblk]
-    kc_ref, vc_ref,   # [L, 1, Tmax, D] bf16 cache (ANY; manual DMA)
-    mask_ref,         # [Tmax, 1] f32: 1 = attend (current slot excluded)
-    cosv_ref, slo_ref, shi_ref,  # [1, D] f32 per-lane rope vectors
-    seg_ref,          # [D, H] bf16 block-diagonal head-segment matrix
-    segt_ref,         # [H, D] bf16 transpose
-    # outputs
-    out_ref,          # [2, _BP, nblk] f32, revisited over the down blocks
-    knew_ref,         # [1, D] bf16
-    vnew_ref,         # [1, D] bf16
-    # scratch
-    hbuf,             # [_BP, D] bf16: rmsnorm staging (reused for norm2)
-    ybuf,             # [_BP, 3D] f32: qkv accum, o accum reuses [:, :D]
-    cbuf,             # [_BP, D] bf16: attention context (o matvec input)
-    o1buf,            # [_BP, D] f32: x + o_proj(attn) residual
-    h2buf,            # [_BP, I] bf16: swiglu outputs (down matvec input)
-    kbuf, vbuf, ksem, vsem,     # [2, _ROWS, D] bf16 + sems (KV dbuf)
-    *,
-    eps: float, heads: int, hd: int, dblk: int, nblk: int, tmax: int,
-    n_qkv: int, n_o: int, n_gu: int, n_dn: int,
-):
-    """One grid step = one weight column block (or the attention step).
-
-    Grid layout (j = program id):
-      [0, n_qkv)                      qkv matvec blocks (j==0 adds rmsnorm)
-      n_qkv                           rope + streamed KV attention + ctx
-      (n_qkv, n_qkv+n_o]              o-proj blocks (last adds residual+norm2)
-      ... + n_gu                      gate_up blocks -> swiglu into h2
-      ... + n_dn                      down blocks -> out (residual folded)
-
-    All weight/scale streams ride Mosaic's grid pipeline (block index maps
-    clamp outside their phase, so each block is DMA'd exactly once and the
-    engine prefetches the NEXT phase's first block during the current
-    phase's tail) — the layer reads HBM as one continuous stream instead
-    of two programs with cold starts.
-    """
-    j = pl.program_id(0)
-    D = x_ref.shape[1]
-    half = hd // 2
-    li = li_ref[0]
-    pos = pos_ref[0]
-    n2_qkv = n_qkv * nblk
-    j_attn = n_qkv
-    j_o0 = n_qkv + 1
-    j_gu0 = j_o0 + n_o
-    j_dn0 = j_gu0 + n_gu
-
-    # ---- phase 1: rmsnorm (first step only) + qkv matvec blocks ----
-    @pl.when(j == 0)
-    def _():
-        xf = x_ref[:].astype(jnp.float32)
-        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
-        hbuf[:] = (xf * jax.lax.rsqrt(var + eps) * ln1_ref[:]).astype(
-            jnp.bfloat16
-        )
-
-    @pl.when(j < n_qkv)
-    def _():
-        acc_lo, acc_hi = nibble_matvec_acc(
-            hbuf, qkv_blk, qkv_sl, qkv_sh, dblk=dblk, g=qkv_sl.shape[0]
-        )
-        jb = j
-        ybuf[:, pl.ds(jb * nblk, nblk)] = acc_lo
-        ybuf[:, pl.ds(n2_qkv + jb * nblk, nblk)] = acc_hi
-
-    # ---- phase 2: rope + streamed online-softmax attention ----
-    @pl.when(j == j_attn)
-    def _():
-        cosv, slo, shi = cosv_ref[:], slo_ref[:], shi_ref[:]
-        q = _rope_flat(ybuf[0:1, 0:D], cosv, slo, shi, half)
-        k_new = _rope_flat(ybuf[0:1, D : 2 * D], cosv, slo, shi, half)
-        v_new = ybuf[0:1, 2 * D : 3 * D].astype(jnp.bfloat16)
-        knew_ref[:] = k_new
-        vnew_ref[:] = v_new
-
-        scale = 1.0 / math.sqrt(hd)
-        seg = seg_ref[:]
-        segt = segt_ref[:]
-
-        def kv_dma(slot, tb):
-            k = pltpu.make_async_copy(
-                kc_ref.at[li, 0, pl.ds(tb * _ROWS, _ROWS), :],
-                kbuf.at[slot], ksem.at[slot],
-            )
-            v = pltpu.make_async_copy(
-                vc_ref.at[li, 0, pl.ds(tb * _ROWS, _ROWS), :],
-                vbuf.at[slot], vsem.at[slot],
-            )
-            return k, v
-
-        def kv_start(slot, tb):
-            k, v = kv_dma(slot, tb)
-            k.start()
-            v.start()
-
-        def kv_wait(slot, tb):
-            k, v = kv_dma(slot, tb)
-            k.wait()
-            v.wait()
-
-        nlive = jax.lax.div(pos + _ROWS - 1, _ROWS)
-
-        @pl.when(nlive > 0)
-        def _():
-            kv_start(0, 0)
-
-        def attn_block(tb, carry):
-            slot = jax.lax.rem(tb, 2)
-
-            @pl.when(tb + 1 < nlive)
-            def _():
-                kv_start(jax.lax.rem(tb + 1, 2), tb + 1)
-
-            kv_wait(slot, tb)
-            mb = mask_ref[pl.ds(tb * _ROWS, _ROWS), :]
-            return _attn_block_update(
-                q, kbuf[slot], vbuf[slot], mb, *carry, seg, segt, scale
-            )
-
-        m0 = jnp.full((1, heads), _NEG, jnp.float32)
-        l0 = jnp.zeros((1, heads), jnp.float32)
-        acc0 = jnp.zeros((1, D), jnp.float32)
-        m, l, acc = jax.lax.fori_loop(0, nlive, attn_block, (m0, l0, acc0))
-
-        ctx = _attn_fold_current(
-            q, k_new, v_new, m, l, acc, seg, segt, scale
-        )
-        cbuf[:] = jnp.zeros((cbuf.shape[0], D), jnp.bfloat16)
-        cbuf[0:1, :] = ctx
-
-    # ---- phase 3: o-proj blocks; last one adds residual + norm2 ----
-    @pl.when((j >= j_o0) & (j < j_gu0))
-    def _():
-        jo = j - j_o0
-        acc_lo, acc_hi = nibble_matvec_acc(
-            cbuf, o_blk, o_sl, o_sh, dblk=dblk, g=o_sl.shape[0]
-        )
-        n2_o = n_o * nblk
-        ybuf[:, pl.ds(jo * nblk, nblk)] = acc_lo
-        ybuf[:, pl.ds(n2_o + jo * nblk, nblk)] = acc_hi
-
-    @pl.when(j == j_gu0 - 1)
-    def _():
-        o1 = x_ref[:].astype(jnp.float32) + ybuf[:, 0:D]
-        o1buf[:] = o1
-        var = jnp.mean(o1 * o1, axis=-1, keepdims=True)
-        hbuf[:] = (o1 * jax.lax.rsqrt(var + eps) * ln2_ref[:]).astype(
-            jnp.bfloat16
-        )
-
-    # ---- phase 4: gate_up blocks -> swiglu ----
-    @pl.when((j >= j_gu0) & (j < j_dn0))
-    def _():
-        jg = j - j_gu0
-        gate, up = nibble_matvec_acc(
-            hbuf, gu_blk, gu_sl, gu_sh, dblk=dblk, g=gu_sl.shape[0]
-        )
-        h = gate * jax.nn.sigmoid(gate) * up
-        h2buf[:, pl.ds(jg * nblk, nblk)] = h.astype(jnp.bfloat16)
-
-    # ---- phase 5: down blocks -> output (residual folded per block) ----
-    @pl.when(j >= j_dn0)
-    def _():
-        jd = j - j_dn0
-        lo, hi = nibble_matvec_acc(
-            h2buf, dn_blk, dn_sl, dn_sh, dblk=dblk, g=dn_sl.shape[0]
-        )
-        d_half = D // 2
-        out_ref[0] = lo + o1buf[:, pl.ds(jd * nblk, nblk)]
-        out_ref[1] = hi + o1buf[:, pl.ds(d_half + jd * nblk, nblk)]
-
-
-@functools.partial(
-    jax.jit, static_argnames=("eps", "heads", "hd", "interpret")
-)
-def decode_layer(
-    x: jnp.ndarray,          # [1, 1, D] bf16 (B=T=1)
-    ln1_w: jnp.ndarray,      # [D] f32
-    qkv: Int4Weight,         # D -> 3D
-    o: Int4Weight,           # D -> D
-    ln2_w: jnp.ndarray,      # [D] f32
-    gate_up: Int4Weight,     # D -> 2I (gate in lo nibbles, up in hi)
-    down: Int4Weight,        # I -> D
-    cache_k: jnp.ndarray,    # [L, 1, Tmax, D] bf16
-    cache_v: jnp.ndarray,
-    li,                      # int32 scalar: layer index
-    pos,                     # int32 scalar: current write slot
-    mask: jnp.ndarray,       # [Tmax] bool/float: attend (excl. current)
-    cos: jnp.ndarray,        # [hd//2] f32 rope cos at this position
-    sin: jnp.ndarray,
-    *,
-    eps: float,
-    heads: int,
-    hd: int,
-    interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """The WHOLE decode layer as one grid-pipelined Pallas program.
-
-    ``x_out = (x + o(attn)) + down(swiglu(rmsnorm2(x + o(attn))))`` with
-    rmsnorm1/rope/cached-attention inside, returning
-    ``(x_out [1,1,D], k_new [1,D], v_new [1,D])`` — the caller writes
-    k_new/v_new into the cache at ``pos``.
-
-    vs :func:`decode_attn_layer` + ``int4_mlp_block`` (two programs): one
-    continuous HBM stream over qkv|KV|o|gate_up|down — the pipeline
-    prefetches the next phase's first block during the current phase's
-    tail, so per-layer compute hides behind the ~69 MB weight+cache
-    stream instead of serializing at the two programs' heads and tails.
-    Replaces the reference's fp16 HF decode layers
-    (Policy_Dynam3D_VLN.py:463 ``llava.generate``).
-    """
-    D = x.shape[-1]
-    tmax = cache_k.shape[2]
-    assert tmax % _ROWS == 0, f"cache length {tmax} % {_ROWS} != 0"
-    assert qkv.n == 3 * D and qkv.d == D and o.d == D and o.n == D
-    assert gate_up.d == D and down.n == D
-    assert gate_up.n == 2 * gate_up.n2 and down.n == 2 * down.n2
-    assert qkv.blocked == o.blocked == gate_up.blocked == down.blocked
-    blocked = qkv.blocked
-    nblk = min(qkv.nblk, o.nblk, gate_up.nblk, down.nblk)
-    dblk = qkv.dblk
-    assert o.dblk == dblk == gate_up.dblk == down.dblk
-    ip = down.dp
-    n_qkv = qkv.n2 // nblk
-    n_o = o.n2 // nblk
-    n_gu = gate_up.n2 // nblk
-    n_dn = down.n2 // nblk
-    assert gate_up.n2 == ip, (gate_up.n2, ip)
-
-    xp = jnp.pad(x.reshape(1, D).astype(jnp.bfloat16), ((0, _BP - 1), (0, 0)))
-    seg = np.zeros((D, heads), np.float32)
-    for hh in range(heads):
-        seg[hh * hd : (hh + 1) * hd, hh] = 1.0
-    seg = jnp.asarray(seg, jnp.bfloat16)
-
-    half = hd // 2
-    i_lane = np.arange(D) % hd
-    idx = jnp.asarray(i_lane % half)
-    lo_mask = jnp.asarray(i_lane < half)
-    cosv = cos.astype(jnp.float32)[idx].reshape(1, D)
-    sin_l = sin.astype(jnp.float32)[idx]
-    slo = jnp.where(lo_mask, -sin_l, 0.0).reshape(1, D)
-    shi = jnp.where(lo_mask, 0.0, sin_l).reshape(1, D)
-
-    j_o0 = n_qkv + 1
-    j_gu0 = j_o0 + n_o
-    j_dn0 = j_gu0 + n_gu
-    grid = (j_dn0 + n_dn,)
-
-    def _const(shape):
-        nd = len(shape)
-        return pl.BlockSpec(
-            shape, lambda j, li, pos, nd=nd: (0,) * nd,
-            memory_space=pltpu.VMEM,
-        )
-
-    def _wspec(w, rows, first, count):
-        """Blocked/flat weight stream: block jb = clip(j - first, 0, count-1);
-        clamped outside the phase so each block is DMA'd exactly once."""
-        if blocked:
-            return pl.BlockSpec(
-                (None, rows, nblk),
-                lambda j, li, pos: (
-                    jnp.clip(j - first, 0, count - 1), 0, 0
-                ),
-                memory_space=pltpu.VMEM,
-            )
-        return pl.BlockSpec(
-            (rows, nblk),
-            lambda j, li, pos: (0, jnp.clip(j - first, 0, count - 1)),
-            memory_space=pltpu.VMEM,
-        )
-
-    def _sspec(s, first, count):
-        return pl.BlockSpec(
-            (s.shape[0], nblk),
-            lambda j, li, pos: (0, jnp.clip(j - first, 0, count - 1)),
-            memory_space=pltpu.VMEM,
-        )
-
-    kernel = functools.partial(
-        _decode_layer_kernel,
-        eps=eps, heads=heads, hd=hd, dblk=dblk, nblk=nblk, tmax=tmax,
-        n_qkv=n_qkv, n_o=n_o, n_gu=n_gu, n_dn=n_dn,
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=grid,
-        in_specs=[
-            _const((_BP, D)),                         # x
-            _const((1, D)),                           # ln1
-            _const((1, D)),                           # ln2
-            _wspec(qkv, D, 0, n_qkv),
-            _sspec(qkv.s_lo, 0, n_qkv),
-            _sspec(qkv.s_hi, 0, n_qkv),
-            _wspec(o, D, j_o0, n_o),
-            _sspec(o.s_lo, j_o0, n_o),
-            _sspec(o.s_hi, j_o0, n_o),
-            _wspec(gate_up, D, j_gu0, n_gu),
-            _sspec(gate_up.s_lo, j_gu0, n_gu),
-            _sspec(gate_up.s_hi, j_gu0, n_gu),
-            _wspec(down, ip, j_dn0, n_dn),
-            _sspec(down.s_lo, j_dn0, n_dn),
-            _sspec(down.s_hi, j_dn0, n_dn),
-            pl.BlockSpec(memory_space=pl.ANY),        # cache k (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),        # cache v (HBM)
-            _const((tmax, 1)),                        # mask
-            _const((1, D)),                           # cosv
-            _const((1, D)),                           # slo
-            _const((1, D)),                           # shi
-            _const((D, heads)),                       # seg
-            _const((heads, D)),                       # segt
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (2, _BP, nblk),
-                lambda j, li, pos: (0, 0, jnp.clip(j - j_dn0, 0, n_dn - 1)),
-                memory_space=pltpu.VMEM,
-            ),
-            _const((1, D)),
-            _const((1, D)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((_BP, D), jnp.bfloat16),           # hbuf
-            pltpu.VMEM((_BP, 3 * D), jnp.float32),        # ybuf
-            pltpu.VMEM((_BP, D), jnp.bfloat16),           # cbuf
-            pltpu.VMEM((_BP, D), jnp.float32),            # o1buf
-            pltpu.VMEM((_BP, ip), jnp.bfloat16),          # h2buf
-            pltpu.VMEM((2, _ROWS, D), jnp.bfloat16),      # K dbuf
-            pltpu.VMEM((2, _ROWS, D), jnp.bfloat16),      # V dbuf
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    kv_bytes = 2 * tmax * D * 2
-    w_bytes = (qkv.n2 + o.n2 + gate_up.n2) * D + down.n2 * ip
-    out, k_new, v_new = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((2, _BP, down.n2), jnp.float32),
-            jax.ShapeDtypeStruct((1, D), jnp.bfloat16),
-            jax.ShapeDtypeStruct((1, D), jnp.bfloat16),
-        ],
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=4 * _BP * (D * qkv.n2 + D * o.n2 + D * gate_up.n2
-                             + ip * down.n2),
-            bytes_accessed=w_bytes + kv_bytes,
-            transcendentals=_BP * gate_up.n2,
-        ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-    )(
-        jnp.asarray(li, jnp.int32).reshape(1),
-        jnp.asarray(pos, jnp.int32).reshape(1),
-        xp,
-        ln1_w.reshape(1, D).astype(jnp.float32),
-        ln2_w.reshape(1, D).astype(jnp.float32),
-        qkv.q4, qkv.s_lo, qkv.s_hi,
-        o.q4, o.s_lo, o.s_hi,
-        gate_up.q4, gate_up.s_lo, gate_up.s_hi,
-        down.q4, down.s_lo, down.s_hi,
-        cache_k, cache_v,
-        mask.reshape(tmax, 1).astype(jnp.float32),
-        cosv, slo, shi,
-        seg,
-        seg.T,
-    )
-    x_out = jnp.concatenate([out[0], out[1]], axis=-1)[0:1, :D]
-    # bf16 between layers — the same residual-stream dtype the split path
-    # (decode_attn_layer + int4_mlp_block) carries
-    return x_out.reshape(1, 1, D).astype(jnp.bfloat16), k_new, v_new
-
-# ---------------------------------------------------------------------------
 # Manual-ring whole-layer kernel: deep DMA lookahead across phase boundaries
 # ---------------------------------------------------------------------------
 
@@ -900,9 +511,10 @@ def _decode_ring_kernel(
 ):
     """One program per decode layer with a hand-scheduled DMA pipeline.
 
-    The grid-pipelined :func:`decode_layer` measured neutral because the
-    pipeline's one-block lookahead leaves the HBM bus idle through the
-    ~25 us attention step.  Here the qkv, o-proj and gate_up column blocks
+    A grid-pipelined whole-layer variant (deleted round 4; BENCH_NOTES
+    round 3) measured neutral because the pipeline's one-block lookahead
+    leaves the HBM bus idle through the ~25 us attention step.  Here the
+    qkv, o-proj and gate_up column blocks
     (all ``[D, nblk]``) ride ONE ``ns``-slot ring in consumption order —
     issue runs ``ns`` blocks ahead of consume, so o/gate_up blocks queue
     up DURING the attention math — and the KV block DMAs are issued at
@@ -1337,8 +949,10 @@ def decode_layer_ring(
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Whole decode layer with the manual ``ns``-slot DMA ring
-    (:func:`_decode_ring_kernel`); same contract as :func:`decode_layer`,
-    generalized to ``B <= 8`` batch rows (multi-episode serving): the
+    (:func:`_decode_ring_kernel`): one program per layer covering
+    qkv + rope + cached attention + o-proj + norms + SwiGLU MLP +
+    residuals, generalized to ``B <= 8`` batch rows (multi-episode
+    serving): the
     weight streams are shared across rows for free, each row attends over
     its own cache with its own position/mask/rope.  Returns
     ``(x_out [B,1,D], k_new [B,D], v_new [B,D])``.

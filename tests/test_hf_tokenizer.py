@@ -118,3 +118,24 @@ def test_gt_text_tail(hf):
     tail = hf.encode(gt, add_bos=False)
     ids = hf.encode(PROMPT)
     assert ids[-len(tail):] == tail
+
+
+def test_check_tokenizer_tool(tok_path):
+    """tools/check_tokenizer.py runs its convention checks against a real
+    on-disk tokenizer: structural conventions hold on the llava-phi-3-like
+    fixture, and the id-arithmetic checks correctly flag that this fixture
+    is NOT the real asset (its ids differ from Phi3Config's)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from check_tokenizer import run_checks
+
+    checks = run_checks(tok_path)
+    for name in ("C1_single_token_image", "C4_static_splice_offset",
+                 "C5_contiguous_span", "C6_no_whitespace_absorption",
+                 "C7_action_text_roundtrip", "C8_vocab_bound"):
+        assert checks[name]["ok"], (name, checks[name])
+    # the fixture's ids are not the real model's — the checker must notice
+    assert not checks["C2_image_id"]["ok"]
+    assert not checks["all_ok"]

@@ -468,9 +468,9 @@ def test_blocked_layout_matches_flat():
         np.testing.assert_array_equal(a, b)
 
 
-def test_fused_decode_layer_matches_split(monkeypatch):
-    """decode_layer (whole-layer program: qkv + attention + o + MLP in one
-    kernel, interpret mode) == the split fused path (attention program +
+def test_fused_decode_ring_matches_split(monkeypatch):
+    """decode_layer_ring (whole-layer program: qkv + attention + o + MLP in
+    one kernel, interpret mode) == the split fused path (attention program +
     int4_mlp_block), logits and cache rows, at eligible dims."""
     import functools
 
@@ -503,16 +503,7 @@ def test_fused_decode_layer_matches_split(monkeypatch):
             pallas_decode.decode_attn_layer.__wrapped__, interpret=True
         ),
     )
-    monkeypatch.setattr(
-        pallas_decode, "decode_layer",
-        functools.partial(
-            pallas_decode.decode_layer.__wrapped__, interpret=True
-        ),
-    )
-    # the grid-pipelined whole-layer kernel is opt-in (measured neutral on
-    # hardware); force it on for the parity check, and hold the
-    # (default-on) ring kernel back until its own block below
-    monkeypatch.setattr(flags, "FUSED_DECODE_LAYER", True)
+    # hold the (default-on) ring kernel back until its own block below
     monkeypatch.setattr(flags, "FUSED_DECODE_RING", False)
 
     rng = np.random.default_rng(5)
@@ -539,11 +530,8 @@ def test_fused_decode_layer_matches_split(monkeypatch):
     )
 
     assert phi3._fused_layer_eligible(qparams, cfg)
-    logits_w, cache_w = phi3._decode_forward_fused(
-        qparams, cfg, e, pos, flat, T, valid
-    )
 
-    # manual-ring variant: same contract, deep-lookahead DMA schedule
+    # manual-ring variant: one whole-layer program, deep-lookahead DMA ring
     monkeypatch.setattr(
         pallas_decode, "decode_layer_ring",
         functools.partial(
@@ -556,9 +544,8 @@ def test_fused_decode_layer_matches_split(monkeypatch):
     )
     monkeypatch.setattr(flags, "FUSED_DECODE_RING", False)
 
-    # with both whole-layer flags off, dispatch falls back to the split
-    # path (eligibility itself is structural and stays True)
-    monkeypatch.setattr(flags, "FUSED_DECODE_LAYER", False)
+    # with the ring flag off, dispatch falls back to the split path
+    # (eligibility itself is structural and stays True)
     assert phi3._fused_layer_eligible(qparams, cfg)
     assert not phi3._ring_eligible(qparams, cfg)
     logits_s, cache_s = phi3._decode_forward_fused(
@@ -577,17 +564,7 @@ def test_fused_decode_layer_matches_split(monkeypatch):
     )
 
     np.testing.assert_allclose(
-        np.asarray(logits_w, np.float32), np.asarray(logits_s, np.float32),
-        rtol=5e-2, atol=5e-2,
-    )
-    assert int(jnp.argmax(logits_w[0, 0])) == int(jnp.argmax(logits_s[0, 0]))
-    np.testing.assert_allclose(
-        np.asarray(cache_w.k[:, 0, T], np.float32),
-        np.asarray(cache_s.k[:, 0, T], np.float32),
-        rtol=3e-2, atol=3e-2,
-    )
-    np.testing.assert_allclose(
-        np.asarray(cache_w.v[:, 0, T], np.float32),
+        np.asarray(cache_r.v[:, 0, T], np.float32),
         np.asarray(cache_s.v[:, 0, T], np.float32),
         rtol=3e-2, atol=3e-2,
     )

@@ -60,12 +60,12 @@ def main():
     results = {}
     tokens = {}
     # three-way: unfused XLA chain / split (attn program + MLP program) /
-    # whole-layer (one program per layer)
+    # ring (one whole-layer program per layer; the deleted grid-pipelined
+    # "layer" variant measured neutral — BENCH_NOTES round 3)
     configs = [
-        ("unfused", False, False, False),
-        ("split", True, False, False),
-        ("layer", True, True, False),
-        ("ring", True, False, True),
+        ("unfused", False, False),
+        ("split", True, False),
+        ("ring", True, True),
     ]
     only = os.environ.get("DYNAM3D_AB_ONLY")
     if only:
@@ -77,15 +77,14 @@ def main():
             keep |= {"unfused"}
         configs = [c for c in configs if c[0] in keep]
     if B > 1:
-        # split/layer cap at batch == 1 — at B > 1 they would silently
+        # the split path caps at batch == 1 — at B > 1 it would silently
         # fall back to the unfused path and report mislabeled numbers
-        dropped = [c[0] for c in configs if c[0] in ("split", "layer")]
+        dropped = [c[0] for c in configs if c[0] == "split"]
         if dropped:
             print(f"B={B}: dropping ineligible configs {dropped}", flush=True)
-        configs = [c for c in configs if c[0] not in ("split", "layer")]
-    for name, attn_on, layer_on, ring_on in configs:
+        configs = [c for c in configs if c[0] != "split"]
+    for name, attn_on, ring_on in configs:
         flags.FUSED_DECODE_ATTN = attn_on
-        flags.FUSED_DECODE_LAYER = layer_on
         flags.FUSED_DECODE_RING = ring_on
         per_len = {}
         for n in lens:

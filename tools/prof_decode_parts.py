@@ -217,21 +217,8 @@ def main():
     bounds_mb["down_only"] = lp["down"]["q4"].q4.size / 1e6
     bounds_mb["qkv_only"] = lp["qkv"]["q4"].q4.size / 1e6
 
-    # ---- whole-layer programs (attention + MLP as one kernel) ----
-    from dynam3d_tpu.ops.pallas_decode import decode_layer, decode_layer_ring
-
-    def mk_layer(n):
-        def f(wp, fp, kc, vc, xx):
-            def body(i, acc):
-                out, k_new, v_new = decode_layer(
-                    acc, wp["input_ln"], wp["qkv"]["q4"], wp["o"]["q4"],
-                    wp["post_ln"], wp["gate_up"]["q4"], wp["down"]["q4"],
-                    kc, vc, 0, pos, mask, cos, sin,
-                    eps=cfg.rms_eps, heads=cfg.num_heads, hd=cfg.head_dim,
-                )
-                return out + 1e-12 * (k_new.sum() + v_new.sum())
-            return jax.lax.fori_loop(0, n, body, xx)
-        return f
+    # ---- whole-layer program (attention + MLP as one kernel) ----
+    from dynam3d_tpu.ops.pallas_decode import decode_layer_ring
 
     def mk_ring(n):
         def f(wp, fp, kc, vc, xx):
@@ -246,11 +233,10 @@ def main():
             return jax.lax.fori_loop(0, n, body, xx)
         return f
 
-    bounds_mb["fused_layer"] = bounds_mb["fused_attn"] + bounds_mb["fused_mlp"]
-    bounds_mb["fused_ring"] = bounds_mb["fused_layer"]
+    bounds_mb["fused_ring"] = bounds_mb["fused_attn"] + bounds_mb["fused_mlp"]
 
     for name, mk in [
-        ("fused_ring", mk_ring), ("fused_layer", mk_layer),
+        ("fused_ring", mk_ring),
         ("fused_attn", mk_attn), ("fused_mlp", mk_mlp),
         ("unfused_attn", mk_unfused_attn), ("unfused_mlp", mk_unfused_mlp),
         ("lm_head", mk_head),

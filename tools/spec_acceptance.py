@@ -1,0 +1,169 @@
+"""Speculative-decode acceptance on realistic VLN text (not random weights).
+
+The serving bench's ``decode_mode=spec`` number rides a random-weight greedy
+stream, which often degenerates to repeats — a best case for n-gram
+prompt-lookup drafting.  The number that decides whether speculation is the
+honest serving default is acceptance on the text a TRAINED Dynam3D policy
+emits: the quantized action grammar of Policy_Dynam3D_VLN.py:472-506
+("turn left N steps, move forward M steps." / "stop.") over prompts that
+embed the instruction and the last-4 action history
+(feature_fields.py[VLN]:183,206).
+
+This tool simulates the EXACT accept rule of phi3.greedy_decode_spec in the
+trained-model regime — the model's greedy argmax equals the known
+continuation — against the real drafting function (``phi3._ngram_draft``,
+imported, not re-implemented) over real prompt token streams from the same
+tokenizer the runtime uses.  Acceptance here is an upper bound that becomes
+exact when the model emits exactly the continuation; the decide-by number
+is tokens/pass vs the measured break-even.
+
+Break-even: one verify pass streams the same int4 weights as one plain
+greedy token plus ~10% draft-row overhead (docs/BENCH_NOTES.md r3: verify
+pass 4.43 ms vs plain token 4.03 ms at B=1) -> speculation wins when
+tokens/pass > ~1.10.
+
+Run: python tools/spec_acceptance.py [--draft-len 8] [--json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+# Representative R2R val-unseen-style instructions (the register the model
+# is prompted with: multi-clause indoor routes, ss_trainer_Dynam3D.py:615).
+INSTRUCTIONS = [
+    "Walk past the couch and table. Turn left and walk down the hallway. "
+    "Stop in the doorway of the bathroom.",
+    "Exit the bedroom and turn right. Walk straight past the kitchen "
+    "island and wait near the refrigerator.",
+    "Go down the stairs and turn left at the bottom. Walk through the "
+    "living room and stop next to the piano.",
+    "Head toward the dining table, then turn around and walk out onto "
+    "the balcony. Stop once you are outside.",
+]
+
+# Action-text scenarios: (history entries, continuation the trained model
+# would emit).  The grammar is the quantized 15-degree / 0.25 m text of
+# Policy_Dynam3D_VLN.py:472-506.
+SCENARIOS = [
+    # the common regime: the agent continues a motion it just made -> the
+    # continuation appears verbatim in the history
+    ("repeat", ["turn left 2 steps, move forward 4 steps.\n"] * 2
+     + ["move forward 4 steps.\n"] * 2,
+     "turn left 2 steps, move forward 4 steps."),
+    # novel counts but shared grammar: only the phrase skeleton hits
+    ("novel-counts", ["turn right 1 steps, move forward 2 steps.\n",
+                      "move forward 4 steps.\n",
+                      "turn left 3 steps, move forward 1 steps.\n",
+                      "move forward 2 steps.\n"],
+     "turn right 2 steps, move forward 3 steps."),
+    # first step of an episode: empty history ("none"), everything must
+    # come from the instruction text
+    ("cold-start", ["none\n"] * 4,
+     "move forward 4 steps."),
+    # terminal step
+    ("stop", ["move forward 2 steps.\n", "move forward 1 steps.\n",
+              "turn left 1 steps, move forward 2 steps.\n",
+              "move forward 1 steps.\n"],
+     "stop."),
+]
+
+
+def simulate(prompt_ids, continuation_ids, k: int):
+    """Pass-by-pass simulation of greedy_decode_spec's accept rule with the
+    real ``_ngram_draft``: model argmax == continuation (trained regime)."""
+    import jax.numpy as jnp
+
+    from dynam3d_tpu.models.vlm.phi3 import _ngram_draft
+
+    S = len(prompt_ids)
+    N = len(continuation_ids)
+    Lh = S + N + k + 2
+    hist = np.full((Lh,), -1, np.int32)
+    hist[:S] = prompt_ids
+    hist[S] = continuation_ids[0]  # prefill argmax
+    n_em, passes = 1, 0
+    while n_em < N:
+        last = continuation_ids[n_em - 1]
+        prev = continuation_ids[n_em - 2] if n_em >= 2 else -1
+        prev2 = continuation_ids[n_em - 3] if n_em >= 3 else -1
+        drf = np.asarray(_ngram_draft(
+            jnp.asarray(hist), S + n_em, prev2, prev, last, k
+        ))
+        acc = 1
+        for j in range(k - 1):
+            if n_em + j >= N or drf[j] != continuation_ids[n_em + j]:
+                break
+            acc += 1
+        for j in range(acc):
+            if n_em + j < N:
+                hist[S + n_em + j] = continuation_ids[n_em + j]
+        n_em += acc
+        passes += 1
+    return N, passes
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--draft-len", type=int, default=None)
+    p.add_argument("--json", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from dynam3d_tpu import flags
+    from dynam3d_tpu.config import Phi3Config
+    from dynam3d_tpu.models.vlm.tokenizer import ByteTokenizer, build_prompt
+
+    k = args.draft_len or max(2, min(int(flags.SPEC_DRAFT_LEN), 8))
+    cfg = Phi3Config()
+    tok = ByteTokenizer(cfg.vocab_size)
+    n_mm = 576 + 37  # 1-view patch grid + typical inst/zone tokens
+
+    rows = []
+    for name, history, cont in SCENARIOS:
+        tp_all = []
+        for ins in INSTRUCTIONS:
+            ids = tok.encode(build_prompt(ins, history, n_mm))
+            # the runtime's lookup stream: prompt ids with <image> slots
+            # masked to the never-match sentinel (bench.py gen_short)
+            prompt = np.asarray(
+                [t if t != tok.image_id else -1 for t in ids], np.int32
+            )
+            cont_ids = tok.encode(cont + "<|end|>", add_bos=False)
+            N, passes = simulate(prompt, cont_ids, k)
+            tp_all.append(N / passes)
+        rows.append({
+            "scenario": name,
+            "tokens_per_pass": round(float(np.mean(tp_all)), 2),
+            "min": round(float(np.min(tp_all)), 2),
+            "max": round(float(np.max(tp_all)), 2),
+        })
+
+    mean_tpp = float(np.mean([r["tokens_per_pass"] for r in rows]))
+    out = {
+        "draft_len": k,
+        "break_even_tokens_per_pass": 1.10,
+        "scenarios": rows,
+        "mean_tokens_per_pass": round(mean_tpp, 2),
+        "verdict": "spec" if mean_tpp > 1.10 else "greedy",
+    }
+    if args.json:
+        print(json.dumps(out))
+    else:
+        print(json.dumps(out, indent=2))
+    return out
+
+
+if __name__ == "__main__":
+    main()
