@@ -375,6 +375,83 @@ def _phase_breakdown(runner, params, cfg, state, obs, hist, rep, B, steps=6):
     return out_fields
 
 
+def waypoint_bench():
+    """DYNAM3D_BENCH_MODE=waypoint: the 12-view candidate-waypoint program
+    at full dims (depth resnet50 on 12x256^2 views -> TRM heatmap -> NMS;
+    ss_trainer_Dynam3D.py:636-640) as ONE jitted program."""
+    import jax
+    import jax.numpy as jnp
+
+    cache_dir = os.environ.get("DYNAM3D_XLA_CACHE", "/tmp/dynam3d_xla_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from dynam3d_tpu.config import DepthEncoderConfig, WaypointConfig
+    from dynam3d_tpu.models import policy_3dff
+    from dynam3d_tpu.models.encoders.depth_resnet import (
+        encode_depth, init_depth_params, preprocess_depth,
+    )
+    from dynam3d_tpu.models.waypoint.trm import (
+        extract_candidates, init_waypoint_params, predict_heatmap,
+    )
+
+    steps = int(os.environ.get("DYNAM3D_BENCH_STEPS", "12"))
+    dcfg = DepthEncoderConfig()
+    wcfg = WaypointConfig()
+    kd, kw = jax.random.split(jax.random.PRNGKey(0))
+    dparams = init_depth_params(kd, dcfg)
+    feat = jax.eval_shape(
+        lambda p, d: encode_depth(p, dcfg, d), dparams,
+        jax.ShapeDtypeStruct(
+            (1, dcfg.input_size, dcfg.input_size, 1), jnp.float32
+        ),
+    )
+    wparams = init_waypoint_params(kw, wcfg, depth_feat_dim=feat.shape[-1])
+
+    def wp(dep12):  # [1,12,Hd,Wd] raw depth (vln_loop._wp)
+        d = policy_3dff.clockwise_reorder(dep12)
+        d = preprocess_depth(
+            d.reshape(12, *d.shape[2:])[..., None], (0.0, 10.0)
+        ) / 10.0
+        feats = encode_depth(dparams, dcfg, d)
+        hm = predict_heatmap(wparams, wcfg, feats)
+        return extract_candidates(wcfg, hm)
+
+    fn = jax.jit(wp)
+    rng = np.random.default_rng(0)
+    dep = jnp.asarray(
+        rng.uniform(0.05, 0.95, (1, 12, dcfg.input_size, dcfg.input_size))
+        .astype(np.float32)
+    )
+    t0 = time.time()
+    out = fn(dep)
+    _sync(out.mask)
+    compile_s = time.time() - t0
+    lat = []
+    for _ in range(steps):
+        t0 = time.time()
+        out = fn(dep)
+        _sync(out.mask)
+        lat.append(time.time() - t0)
+    p50 = float(np.percentile(lat, 50) * 1000.0)
+    print(json.dumps({
+        "metric": "waypoint_12view_p50_ms",
+        "value": round(p50, 2),
+        "unit": "ms",
+        "vs_baseline": None,
+        "extra": {
+            "baseline": "unmeasured",
+            "compile_s": round(compile_s, 1),
+            "depth_size": dcfg.input_size,
+            "candidates": int(np.asarray(jnp.sum(out.mask))),
+            "backend": jax.default_backend(),
+        },
+    }))
+
+
 def train_bench():
     """DYNAM3D_BENCH_MODE=train: the jitted IL training step on the chip at
     full dims (the reference spends 2/3 of its life here:
@@ -708,6 +785,8 @@ def main():
         return train_bench()
     if os.environ.get("DYNAM3D_BENCH_MODE") == "pretrain":
         return pretrain_bench()
+    if os.environ.get("DYNAM3D_BENCH_MODE") == "waypoint":
+        return waypoint_bench()
 
     # persistent compile cache: the tunnel makes cold compiles ~10min at full
     # scale; warm runs start in seconds.
@@ -837,7 +916,7 @@ def main():
     # vs_baseline: denominator from bench_baseline.json (shipped as an
     # explicitly-flagged analytic estimate — see module docstring); null +
     # "unmeasured" when absent, never a placeholder 1.0.
-    vs, baseline_kind = None, "unmeasured"
+    vs, vs_range, baseline_kind = None, None, "unmeasured"
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
     full_stack = scale == "full" and cfg.llava.phi3.num_layers == 32
@@ -848,6 +927,12 @@ def main():
         if base.get("p50_step_latency_ms"):
             vs = round(float(base["p50_step_latency_ms"]) / p50_ms, 3)
             baseline_kind = base.get("provenance", "measured")
+            if base.get("p50_range_ms"):
+                # the analytic denominator carries a sensitivity band
+                # (bench_baseline.json range_note) — report the claim as a
+                # range, not a point
+                lo, hi = base["p50_range_ms"]
+                vs_range = [round(lo / p50_ms, 2), round(hi / p50_ms, 2)]
 
     breakdown = {}
     if os.environ.get("DYNAM3D_BENCH_BREAKDOWN", "1") not in ("0", "false"):
@@ -867,6 +952,7 @@ def main():
                 "vs_baseline": vs,
                 "extra": {
                     "baseline": baseline_kind,
+                    "vs_baseline_range": vs_range,
                     "rgbd_to_3d_tokens_fps": round(fps, 2),
                     "perceive_p50_ms": round(perc_p50, 2),
                     "sync_step_ms": round(sync_p50, 2),

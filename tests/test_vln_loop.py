@@ -238,3 +238,28 @@ def test_run_cli_eval(tmp_path, monkeypatch):
     assert stats, list(out.iterdir())
     per_ep = json.load(open(stats[0]))
     assert len(per_ep) == 8
+
+
+def test_waypoint_predictor_drives_candidates_closed_loop(setup):
+    """The reference ALWAYS drives the frozen TRM waypoint predictor over
+    the 12-view depth panorama (ss_trainer_Dynam3D.py:636-640); with a
+    12-view feed the trainer must take that path — candidates come from
+    the predictor's NMS (<= max_candidates), not the 36-entry geometric
+    fan — and the closed-loop teacher-forced episode still trains."""
+    cfg, params = setup
+    feed12 = SyntheticRoomFeed(
+        rgb_size=56, depth_size=cfg.depth.input_size, views=12, seed=3
+    )
+    trainer = VLNTrainer(params, cfg, lambda: feed12)
+    assert trainer._waypoint_fn is not None
+    obs = feed12.reset()
+    assert obs.depth.shape[0] == 12
+    ca, cd = trainer._candidates(feed12, obs)
+    fan = 12 * 3  # the geometric fallback's angle x range grid
+    assert 1 <= len(ca) <= cfg.waypoint.max_candidates != fan
+    assert len(ca) == len(cd)
+    assert all(0.0 <= a <= 2 * np.pi + 1e-6 for a in ca)
+    assert all(d > 0 for d in cd)
+
+    out = trainer.train_episode(feed=feed12, max_steps=2)
+    assert np.isfinite(out["loss"]) and out["steps"] >= 1
