@@ -20,20 +20,58 @@ import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+def _host_cache_dir(base: str) -> str:
+    """Key the persistent compile cache by host CPU features: XLA:CPU AOT
+    entries compiled on a different machine model fail to load (machine-
+    feature mismatch), so a shared dir wastes time and spams errors."""
+    import hashlib
+
+    try:
+        flags = [l for l in open("/proc/cpuinfo") if l.startswith("flags")][0]
+    except Exception:
+        import platform
+
+        flags = platform.processor() or "unknown"
+    return f"{base}_{hashlib.sha1(flags.encode()).hexdigest()[:12]}"
+
+
 # persistent compile cache: the suite is compile-bound on CPU
-jax.config.update("jax_compilation_cache_dir", "/tmp/dynam3d_test_xla_cache")
+jax.config.update(
+    "jax_compilation_cache_dir", _host_cache_dir("/tmp/dynam3d_test_xla_cache")
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-# --- tiers: the full suite is compile-bound (>10 min cold); the quick tier
-# (`pytest -m "not slow"`) skips the heavyweight end-to-end modules and
-# finishes in a few minutes for inner-loop development.
+# --- tiers: the full suite is compile-bound (the persistent cache only
+# helps same-host reruns).  The quick tier (`pytest -m "not slow"`) is the
+# core-correctness set — ~5 min cold on a typical multi-core host, ~12 min
+# on a 1-core container.  Everything else (end-to-end drivers + compile-
+# heavy integration modules) runs in the full tier.
 _SLOW_MODULES = {
+    # end-to-end drivers
     "test_vln_loop",
     "test_reference_golden",
     "test_pretrain_loop",
     "test_recorded_replay",
     "test_e2e_slice",
     "test_checkpoint_parity",
+    # compile-heavy integration modules (measured on a 1-core host,
+    # /tmp durations r4: parallel 266s, pallas_kernels 360s, spec_decode
+    # 400s, vlm 122s, converters2 120s, policy_3dff 109s, pretrain 106s,
+    # encoders 90s, vector_feed 42s, yolov8_seg 36s) — the quick tier
+    # keeps the core-correctness set (update-parity, memory3d, geom, ops,
+    # render, metrics, utils, datasets, parity-runway round-trips)
+    "test_parallel",
+    "test_pallas_kernels",
+    "test_spec_decode",
+    "test_vlm",
+    "test_converters2",
+    "test_policy_3dff",
+    "test_pretrain",
+    "test_encoders",
+    "test_vector_feed",
+    "test_yolov8_seg",
 }
 
 
