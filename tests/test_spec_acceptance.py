@@ -1,0 +1,44 @@
+"""tools/spec_acceptance.py: the realistic-text speculation study.
+
+Pins the qualitative result the serving default rests on: on the trained
+action grammar, prompt-lookup drafting clears break-even by a wide margin
+in the history-repeat regimes and degrades gracefully at cold start."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+import numpy as np
+
+import spec_acceptance
+
+
+def test_simulation_counts_are_exact():
+    """Hand-checkable case: continuation identical to a history entry ->
+    after the first bigram lands, every pass should emit close to k
+    tokens."""
+    from dynam3d_tpu.models.vlm.tokenizer import ByteTokenizer, build_prompt
+
+    tok = ByteTokenizer(32064)
+    cont = "turn left 2 steps, move forward 4 steps."
+    ids = tok.encode(build_prompt("go", [cont + "\n"] * 4, 8))
+    prompt = np.asarray(
+        [t if t != tok.image_id else -1 for t in ids], np.int32
+    )
+    cont_ids = tok.encode(cont + "<|end|>", add_bos=False)
+    N, passes = spec_acceptance.simulate(prompt, cont_ids, k=8)
+    assert N == len(cont_ids)
+    # 42 tokens in <= 9 passes (>= 4.6 tokens/pass): the drafter must be
+    # finding the verbatim history occurrence
+    assert N / passes > 4.0, (N, passes)
+
+
+def test_study_verdict_is_spec():
+    out = spec_acceptance.main(["--json"])
+    by = {r["scenario"]: r["tokens_per_pass"] for r in out["scenarios"]}
+    assert by["repeat"] > 4.0
+    assert by["novel-counts"] > 2.0
+    assert by["cold-start"] >= 1.0 and by["stop"] >= 1.0
+    assert out["mean_tokens_per_pass"] > out["break_even_tokens_per_pass"]
+    assert out["verdict"] == "spec"
