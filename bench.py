@@ -943,6 +943,28 @@ def main():
         except Exception as e:  # pragma: no cover - diagnostics only
             breakdown = {"breakdown_error": str(e)[:200]}
 
+    # attach the most recent train/pretrain/waypoint sweep results
+    # (scripts/bench_round4.sh writes them) so one bench line carries the
+    # training-side numbers next to the serving ones
+    sweep_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "runs",
+        "bench_round4.jsonl",
+    )
+    if os.path.exists(sweep_path):
+        for line in open(sweep_path):
+            try:
+                row = json.loads(line)
+            except ValueError:
+                continue
+            r = row.get("line", {})
+            if row.get("mode") in ("train", "pretrain", "waypoint") and \
+                    isinstance(r, dict) and "value" in r:
+                breakdown[r.get("metric", row["mode"])] = r["value"]
+                if row["mode"] == "train":
+                    breakdown["train_mfu_pct"] = r.get("extra", {}).get(
+                        "train_mfu_pct"
+                    )
+
     print(
         json.dumps(
             {
