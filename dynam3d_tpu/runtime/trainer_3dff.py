@@ -94,6 +94,12 @@ def pretrain_step_loss(
     f = cfg.fields
 
     # ---- fold views, collecting pretrain aux ----
+    # remat the per-view update: without it the backward pass saves every
+    # scan iteration's re-aggregation activations ([V, S, members+1, 4D]
+    # f32 residuals — 15 GiB at V=16 full dims, OOM on a 16 GiB v5e); the
+    # reference leans on torch autograd's per-call graphs + its GPU-memory
+    # gate instead (feature_fields.py:1129-1137)
+    @jax.checkpoint
     def step(st, xs):
         d, g, sg, pos, hd, pp, pd, ps = xs
         st, aux = update_view_pretrain(
@@ -162,6 +168,7 @@ def losses_after_update(
         # FramesDriver: render with the real camera (K, R, T) — the
         # reference's generic-intrinsics branch (feature_fields.py:505-537),
         # preserving camera pitch and the true FOV (NOT position+heading)
+        @jax.checkpoint
         def render_one_posed(rot, trans):
             out = render_view_posed(
                 params["render"], f, state, batch.novel_k, rot, trans
@@ -172,6 +179,7 @@ def losses_after_update(
             lambda xs: render_one_posed(*xs), (batch.novel_rot, batch.novel_trans)
         )  # [Nv,R,D], [Nv,R,3]
     else:
+        @jax.checkpoint
         def render_one(pos, hd):
             out = render_view(params["render"], f, state, pos, hd)
             return out.features.reshape(-1, f.fts_dim), out.positions.reshape(-1, 3)

@@ -7,6 +7,9 @@ set -u
 cd "$(dirname "$0")/.."
 OUT=runs/bench_round4.jsonl
 mkdir -p runs
+# cold-cache full-scale compiles over the tunnel can take 20-40 min per
+# mode; give each one headroom beyond the 2700 s default watchdog
+export DYNAM3D_BENCH_BUDGET_S="${DYNAM3D_BENCH_BUDGET_S:-5200}"
 run() {
   local name="$1"; shift
   echo "=== $name ($(date +%H:%M:%S)) ===" >&2
