@@ -599,13 +599,17 @@ def pretrain_bench():
         from dynam3d_tpu.config import apply_opts
 
         cfg = apply_opts(cfg, ["fields.view_height=2", "fields.view_width=2"])
-    params = policy_mod.init_policy_params(jax.random.PRNGKey(0), cfg)
+    # init ONLY what pretraining uses: the full policy tree would park the
+    # 7.4 GB bf16 LLaVA in HBM for nothing (observed v5e OOM)
+    from dynam3d_tpu.models.encoders import clip as clip_mod
+    from dynam3d_tpu.models.memory3d import init_field_params
     from dynam3d_tpu.models.render.nerf import init_render_params
 
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
     pr_params = {
-        "fields": params["fields"],
-        "render": init_render_params(jax.random.PRNGKey(1), cfg.fields),
-        "clip": params["clip"],
+        "fields": init_field_params(k1, cfg.fields),
+        "render": init_render_params(k2, cfg.fields),
+        "clip": clip_mod.init_clip_params(k3, cfg.clip),
     }
     runner = PretrainRunner(pr_params, cfg)
     ds = SyntheticFramesDataset(
