@@ -323,6 +323,11 @@ class PretrainRunner:
         self.opt = trainer_3dff.make_pretrain_optimizer(cfg)
         self._steps = {}  # posed-mode -> jitted step (walk/frames programs)
         self._encode = jax.jit(self._encode_views)
+        # the whole device side of build_batch as ONE program: ~30 eager
+        # dispatches each paying a host->device round trip otherwise
+        self._build = jax.jit(
+            self._build_device, static_argnames=("posed", "mode")
+        )
         self.seed = seed
         self.it = 0
 
@@ -356,6 +361,77 @@ class PretrainRunner:
         cls, grid = clip_mod.encode_image(clip_params, self.cfg.clip, pixels)
         return cls, grid
 
+    def _build_device(self, clip_params, arrs, *, posed: bool, mode: str):
+        """Device side of :meth:`build_batch` as ONE fused program.
+
+        ``mode``:
+          - ``"reuse"``    — posed FramesDriver default: the novel views ARE
+            the input frames with their real (R, T), so their CLIP grids are
+            reused, not re-encoded (ss_trainer_3DFF.py:1271-1273);
+          - ``"slice2"``   — unposed default: the novel views are input
+            frames 0..1, whose grids are rows of the input encoding;
+          - ``"explicit"`` — caller-provided novel views, re-encoded.
+        """
+        f = self.cfg.fields
+        H, W = f.input_height, f.input_width
+        rgb, depth = arrs["rgb"], arrs["depth"]
+        V = rgb.shape[0]
+
+        cls, grid = self._encode_views(clip_params, rgb)
+        d24 = nearest_resize_hw(depth, H, W)
+        d24 = preprocess_depth(d24[..., None], (0.0, 10.0))[..., 0].reshape(
+            V, H * W
+        )
+        # per-patch world geometry: full-pose for posed-frame datasets
+        # (reference generic-intrinsics branch, feature_fields.py:905-916),
+        # habitat-mode unprojection otherwise
+        world_pos = habitat_to_world(arrs["position"])
+        headings = arrs["heading"]
+        if posed:
+            d_hw = depth.shape[1:3]
+            ks = jax.vmap(
+                lambda k: scale_intrinsics(k, d_hw, (H, W))
+            )(arrs["intrinsics"])
+            ppos, pdir, pscale = jax.vmap(
+                lambda d, k, r, t: patch_geometry_from_pose(d, k, r, t, H, W)
+            )(d24, ks, arrs["rot"], arrs["trans"])
+            # shared view-resolution K: frame 0's intrinsics rescaled with
+            # principal point pinned to the view center (reference
+            # init_camera_intrinsic, feature_fields.py:851-855)
+            novel_k = view_k(
+                arrs["intrinsics"][0], d_hw, (f.view_height, f.view_width)
+            )
+        else:
+            def _geo(d, pos, hd):
+                rx, ry, rz, pd_, ps_ = unproject_depth_habitat(
+                    d, hd, height=H, width=W,
+                    hfov_deg=f.input_hfov, vfov_deg=f.input_vfov,
+                )
+                return jnp.stack([rx, ry, rz], -1) + pos[None, :], pd_, ps_
+
+            ppos, pdir, pscale = jax.vmap(_geo)(d24, world_pos, headings)
+            novel_k = jnp.eye(3, dtype=jnp.float32)
+        segm = jax.vmap(
+            lambda dv: depth_plane_segments(dv, H, W, f.max_segments)
+        )(d24)
+
+        if mode == "reuse":
+            ngrid, novel_pos, novel_hd = grid, world_pos, headings
+        elif mode == "slice2":
+            ngrid, novel_pos, novel_hd = grid[:2], world_pos[:2], headings[:2]
+        else:
+            _, ngrid = self._encode_views(clip_params, arrs["novel_rgb"])
+            novel_pos = habitat_to_world(arrs["novel_position"])
+            novel_hd = arrs["novel_heading"]
+        # gt novel-view features: 24x24 grid avg-pooled 2x2 -> 12x12
+        novel_gt = pool_to_view(ngrid, f)
+        return dict(
+            cls=cls, grid=grid, d24=d24, segm=segm, world_pos=world_pos,
+            heading=headings, ppos=ppos, pdir=pdir, pscale=pscale,
+            novel_pos=novel_pos, novel_hd=novel_hd, novel_gt=novel_gt,
+            novel_k=novel_k,
+        )
+
     # ------------------------------------------------------------------
     def build_batch(
         self,
@@ -369,69 +445,39 @@ class PretrainRunner:
     ) -> trainer_3dff.PretrainBatch:
         cfg = self.cfg
         f = cfg.fields
-        H, W = f.input_height, f.input_width
-        V = scene["rgb"].shape[0]
         D = f.fts_dim
-        R = f.view_height * f.view_width
-
-        cls, grid = self._encode(clip_params, jnp.asarray(scene["rgb"]))
-        d24 = nearest_resize_hw(jnp.asarray(scene["depth"]), H, W)
-        d24 = preprocess_depth(d24[..., None], (0.0, 10.0))[..., 0].reshape(V, H * W)
-
-        # per-patch world geometry: full-pose for posed-frame datasets
-        # (reference generic-intrinsics branch, feature_fields.py:905-916),
-        # habitat-mode unprojection otherwise
-        world_pos = habitat_to_world(jnp.asarray(scene["position"]))
-        headings = jnp.asarray(scene["heading"])
-        if "intrinsics" in scene:
-            d_hw = scene["depth"].shape[1:3]
-            ks = jax.vmap(
-                lambda k: scale_intrinsics(k, d_hw, (H, W))
-            )(jnp.asarray(scene["intrinsics"]))
-            ppos, pdir, pscale = jax.vmap(
-                lambda d, k, r, t: patch_geometry_from_pose(d, k, r, t, H, W)
-            )(d24, ks, jnp.asarray(scene["rot"]), jnp.asarray(scene["trans"]))
-        else:
-            def _geo(d, pos, hd):
-                rx, ry, rz, pd_, ps_ = unproject_depth_habitat(
-                    d, hd, height=H, width=W,
-                    hfov_deg=f.input_hfov, vfov_deg=f.input_vfov,
-                )
-                return jnp.stack([rx, ry, rz], -1) + pos[None, :], pd_, ps_
-
-            ppos, pdir, pscale = jax.vmap(_geo)(d24, world_pos, headings)
-        segm = jax.vmap(
-            lambda dv: depth_plane_segments(dv, H, W, f.max_segments)
-        )(d24)
-
         posed = "intrinsics" in scene
-        reuse_grids = False
-        if novel_views is None:
-            if posed:
-                # FramesDriver renders EVERY input view back with its real
-                # (R, T) (ss_trainer_3DFF.py:1271-1273) — the novel views ARE
-                # the inputs, so their CLIP grids are reused, not re-encoded
-                novel_views = {
-                    "rgb": scene["rgb"],
-                    "position": scene["position"],
-                    "heading": scene["heading"],
-                    "rot": scene["rot"],
-                    "trans": scene["trans"],
-                }
-                reuse_grids = True
-            else:
-                novel_views = {
-                    "position": scene["position"][:2],
-                    "heading": scene["heading"][:2],
-                    "rgb": scene["rgb"][:2],
-                }
-        if reuse_grids:
-            ngrid = grid
+
+        arrs = {
+            "rgb": np.asarray(scene["rgb"]),
+            "depth": np.asarray(scene["depth"], np.float32),
+            "position": np.asarray(scene["position"], np.float32),
+            "heading": np.asarray(scene["heading"], np.float32),
+        }
+        if posed:
+            arrs["intrinsics"] = np.asarray(scene["intrinsics"], np.float32)
+            arrs["rot"] = np.asarray(scene["rot"], np.float32)
+            arrs["trans"] = np.asarray(scene["trans"], np.float32)
+        if novel_views is not None:
+            mode = "explicit"
+            arrs["novel_rgb"] = np.asarray(novel_views["rgb"])
+            arrs["novel_position"] = np.asarray(
+                novel_views["position"], np.float32
+            )
+            arrs["novel_heading"] = np.asarray(
+                novel_views["heading"], np.float32
+            )
+        elif posed:
+            # FramesDriver renders EVERY input view back with its real
+            # (R, T) (ss_trainer_3DFF.py:1271-1273) — the novel views ARE
+            # the inputs, handled device-side by mode="reuse"
+            mode = "reuse"
+            novel_views = {"rot": scene["rot"], "trans": scene["trans"]}
         else:
-            _, ngrid = self._encode(clip_params, jnp.asarray(novel_views["rgb"]))
-        # gt novel-view features: 24x24 grid avg-pooled 2x2 -> 12x12
-        Nv = novel_views["rgb"].shape[0]
-        novel_gt = pool_to_view(ngrid, f)
+            mode = "slice2"
+            novel_views = {}
+        out = self._build(clip_params, arrs, posed=posed, mode=mode)
+        Nv = out["novel_gt"].shape[0]
 
         C = 16 if cat_embeddings is None else cat_embeddings.shape[0]
         L = max_gt_label
@@ -443,42 +489,40 @@ class PretrainRunner:
         if gtid_text_fts is None:
             gtid_text_fts = rng.normal(size=(L, D)).astype(np.float32)
 
+        # everything below is either a device output of the fused program or
+        # a host->device transfer (no eager compute dispatches)
         return trainer_3dff.PretrainBatch(
-            depth=d24,
-            grid_fts=grid,
-            cls_fts=cls,
-            segm=segm,
-            position=world_pos,
-            heading=headings,
+            depth=out["d24"],
+            grid_fts=out["grid"],
+            cls_fts=out["cls"],
+            segm=out["segm"],
+            position=out["world_pos"],
+            heading=out["heading"],
             gt_xyz=jnp.asarray(scene["gt_xyz"]),
             gt_label=jnp.asarray(scene["gt_label"]),
-            gt_valid=jnp.ones((scene["gt_xyz"].shape[0],), bool),
-            novel_position=habitat_to_world(jnp.asarray(novel_views["position"])),
-            novel_heading=jnp.asarray(novel_views["heading"]),
-            novel_gt_fts=novel_gt,
-            # shared view-resolution K: frame 0's intrinsics rescaled with
-            # principal point pinned to the view center (reference
-            # init_camera_intrinsic, ss_trainer_3DFF.py via
-            # feature_fields.py:851-855)
-            novel_k=(
-                view_k(scene["intrinsics"][0], scene["depth"].shape[1:3],
-                       (f.view_height, f.view_width))
-                if posed else jnp.eye(3, dtype=jnp.float32)
-            ),
+            gt_valid=jnp.asarray(np.ones((scene["gt_xyz"].shape[0],), bool)),
+            novel_position=out["novel_pos"],
+            novel_heading=out["novel_hd"],
+            novel_gt_fts=out["novel_gt"],
+            novel_k=out["novel_k"],
             novel_rot=jnp.asarray(
                 novel_views["rot"], jnp.float32
-            ) if "rot" in novel_views else jnp.tile(jnp.eye(3), (Nv, 1, 1)),
+            ) if "rot" in novel_views else jnp.asarray(
+                np.tile(np.eye(3, dtype=np.float32), (Nv, 1, 1))
+            ),
             novel_trans=jnp.asarray(
                 novel_views["trans"], jnp.float32
-            ) if "trans" in novel_views else jnp.zeros((Nv, 3)),
+            ) if "trans" in novel_views else jnp.asarray(
+                np.zeros((Nv, 3), np.float32)
+            ),
             cat_embeddings=jnp.asarray(cat_embeddings),
             gtid_to_cat=jnp.asarray(gtid_to_cat),
             gtid_text_fts=jnp.asarray(gtid_text_fts),
-            gtid_text_valid=jnp.ones((L,), bool),
+            gtid_text_valid=jnp.asarray(np.ones((L,), bool)),
             use_labels=jnp.asarray(bool(scene.get("use_labels", True))),
-            ppos=ppos,
-            pdir=pdir,
-            pscale=pscale,
+            ppos=out["ppos"],
+            pdir=out["pdir"],
+            pscale=out["pscale"],
         )
 
     # ------------------------------------------------------------------
@@ -492,10 +536,29 @@ class PretrainRunner:
     ) -> List[Dict[str, float]]:
         cfg = self.cfg
         history = []
+        # one-iteration metrics pipeline: the float() conversion of iteration
+        # t's scalars is deferred until iteration t+1's step is DISPATCHED,
+        # so t+1's scene sampling + host->device staging + fused build run
+        # under t's in-flight grad step (jax async dispatch) instead of
+        # serializing behind a device->host sync every iteration
+        pending = None  # (device metrics, iteration index)
+
+        def _flush():
+            nonlocal pending
+            if pending is None:
+                return
+            metrics, it = pending
+            pending = None
+            m = {k: float(v) for k, v in metrics.items()}
+            history.append(m)
+            if logger:
+                logger.add_scalars(m, it, prefix="loss/")
+
         for _ in range(iters):
             ds_id = trainer_3dff.draw_dataset_id(self.seed, self.it, len(datasets))
             ds = datasets[ds_id]
             if hasattr(ds, "run_iteration"):  # WalkDriver (hm3d episode)
+                _flush()
                 m = ds.run_iteration(self)
                 history.append(m)
                 if logger:
@@ -523,14 +586,13 @@ class PretrainRunner:
             )
             self.params["fields"] = new_tr["fields"]
             self.params["render"] = new_tr["render"]
-            m = {k: float(v) for k, v in metrics.items()}
-            history.append(m)
-            if logger:
-                logger.add_scalars(m, self.it, prefix="loss/")
+            _flush()
+            pending = (metrics, self.it)
             if ckpt_dir and (self.it + 1) % log_every == 0:
                 ckpt_mod.save_checkpoint(
                     ckpt_dir, self.it + 1,
                     {"fields": self.params["fields"], "render": self.params["render"]},
                 )
             self.it += 1
+        _flush()
         return history
