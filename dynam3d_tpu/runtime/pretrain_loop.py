@@ -358,8 +358,13 @@ class PretrainRunner:
 
     def _encode_views(self, clip_params, rgb):
         pixels = clip_mod.preprocess_rgb(rgb, self.cfg.clip.image_size)
+        if self.cfg.clip.compute_dtype == "bf16":
+            # bf16 tower, the reference's own CLIP precision (fp16 there;
+            # clip/model.py convert_weights) — same cast the VLN perceive
+            # path uses (models/policy.py); projected features return f32
+            pixels = pixels.astype(jnp.bfloat16)
         cls, grid = clip_mod.encode_image(clip_params, self.cfg.clip, pixels)
-        return cls, grid
+        return cls.astype(jnp.float32), grid.astype(jnp.float32)
 
     def _build_device(self, clip_params, arrs, *, posed: bool, mode: str):
         """Device side of :meth:`build_batch` as ONE fused program.
