@@ -21,7 +21,7 @@ dynamic prompt.
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -144,6 +144,11 @@ def perceive(
         pixels = pixels.astype(jnp.bfloat16)
     _, grid = clip_mod.encode_image(params["clip"], cfg.clip, pixels)
     grid = jax.lax.stop_gradient(grid).reshape(B, V, HW, f.fts_dim)
+    # the reference quantizes the grid features to fp16 before they enter
+    # the memory tables (feature_fields.py:499) — reproduce the rounding so
+    # table contents stay bit-close (the closed-loop golden test holds
+    # greedy decode in token lockstep, which a 3e-4 feature drift flips)
+    grid = grid.astype(jnp.float16).astype(grid.dtype)
 
     # --- segmentation: learned FastSAM port by default (the reference
     # segments every view, feature_fields.py:750-780), geometric fallback ---
@@ -222,9 +227,14 @@ def perceive(
     patch_tok = tower_feats + mlp2(params["patch_pos_emb"], p3d)
     patch_tok = patch_tok.reshape(B, V * HW, -1)
 
+    # multimodal tokens take the LANGUAGE MODEL's dtype (bf16 in production —
+    # the reference loads llava torch_dtype=bfloat16, ":117" — but f32 when
+    # the LLM runs f32, e.g. the fp32 golden tests: a hardcoded bf16 round
+    # here injected 3e-3 noise against the fp32 reference)
+    llm_dtype = params["llava"]["phi3"]["embed_tokens"].dtype
     mm = jnp.concatenate(
-        [patch_tok.astype(jnp.bfloat16), inst_tok.astype(jnp.bfloat16),
-         zone_tok.astype(jnp.bfloat16)],
+        [patch_tok.astype(llm_dtype), inst_tok.astype(llm_dtype),
+         zone_tok.astype(llm_dtype)],
         axis=1,
     )
     mm_valid = jnp.concatenate(
@@ -285,7 +295,12 @@ def train_loss(
         params["llava"], cfg.llava, input_ids, mm_tokens, splice_start
     )
     attn_valid = jax.lax.dynamic_update_slice(text_valid, mm_valid, (0, splice_start))
-    prompt_len = jnp.sum(attn_valid.astype(jnp.int32), axis=1) - jnp.sum(
+    # PHYSICAL prompt length (label tokens sit right after the prompt ids in
+    # the tokenized layout) — attn_valid's count undercounts it by the
+    # masked-out static instance/zone slots, which would gather the CE
+    # logits from mid-prompt positions (same count-vs-index bug as
+    # phi3._last_valid_idx; caught by the closed-loop golden test)
+    prompt_len = jnp.sum(text_valid.astype(jnp.int32), axis=1) - jnp.sum(
         label_mask.astype(jnp.int32), axis=1
     )
     return llava_mod.teacher_forced_loss(

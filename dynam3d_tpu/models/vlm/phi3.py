@@ -438,6 +438,21 @@ def _verify_forward_fused(
     return _lm_head(params, x), KVCache(ck, cv)
 
 
+def _last_valid_idx(attn_valid: jnp.ndarray) -> jnp.ndarray:
+    """PHYSICAL index of each row's last valid token.
+
+    ``sum(valid) - 1`` is only the COUNT; the two differ whenever validity
+    has interior holes — which is every llava prompt here, because the
+    static instance/zone slots beyond the live count are attention-masked
+    (models/policy.py sequence layout).  Reading prefill logits at the
+    count instead of the physical index returned a mid-prompt position's
+    logits as "the next-token logits" (caught by
+    tests/test_closed_loop_golden.py lockstep vs the reference's exactly-
+    sized dynamic prompt, Policy_Dynam3D_VLN.py:436-463)."""
+    T = attn_valid.shape[1]
+    return T - 1 - jnp.argmax(attn_valid[:, ::-1].astype(jnp.int32), axis=1)
+
+
 def greedy_decode(
     params: Params,
     cfg: Phi3Config,
@@ -468,7 +483,7 @@ def greedy_decode(
     mask = prefill_mask(attn_valid, total)
     # last valid position per row; lm_head runs ONLY there (the only prefill
     # logits generation reads — saves the [T,V] projection + logits I/O)
-    last = jnp.sum(attn_valid.astype(jnp.int32), axis=1) - 1
+    last = _last_valid_idx(attn_valid)
     logits, cache = forward(
         params, cfg, embeds, positions, cache, 0, mask, lm_at=last
     )
@@ -631,7 +646,7 @@ def greedy_decode_spec(
     cache = init_cache(cfg, B, total, dtype=embeds.dtype)
     positions = jnp.maximum(jnp.cumsum(attn_valid.astype(jnp.int32), 1) - 1, 0)
     mask = prefill_mask(attn_valid, total)
-    last_idx = jnp.sum(attn_valid.astype(jnp.int32), axis=1) - 1
+    last_idx = _last_valid_idx(attn_valid)
     logits, cache = forward(
         params, cfg, embeds, positions, cache, 0, mask, lm_at=last_idx
     )
@@ -864,7 +879,7 @@ def greedy_decode_spec_batched(
     cache = init_cache(cfg, B, total, dtype=embeds.dtype)
     positions = jnp.maximum(jnp.cumsum(attn_valid.astype(jnp.int32), 1) - 1, 0)
     mask = prefill_mask(attn_valid, total)
-    last_idx = jnp.sum(attn_valid.astype(jnp.int32), axis=1) - 1
+    last_idx = _last_valid_idx(attn_valid)
     logits, cache = forward(
         params, cfg, embeds, positions, cache, 0, mask, lm_at=last_idx
     )

@@ -52,6 +52,7 @@ _SLOW_MODULES = {
     # end-to-end drivers
     "test_vln_loop",
     "test_reference_golden",
+    "test_closed_loop_golden",
     "test_pretrain_loop",
     "test_recorded_replay",
     "test_e2e_slice",
