@@ -143,7 +143,8 @@ def render_bench():
         ),
         patch_valid=state.patch_valid.at[:n].set(True),
     )
-    fn = jax.jit(lambda st, p, h: render_view(params, cfg, st, p, h))
+    fn_jit = jax.jit(lambda pr, st, p, h: render_view(pr, cfg, st, p, h))
+    fn = lambda st, p, h: fn_jit(params, st, p, h)
     t0 = time.time()
     out = fn(state, jnp.zeros(3), jnp.asarray(0.0))
     _sync(out.features)
@@ -206,12 +207,19 @@ def _llm_flops_bytes(phi3_params, cfg):
     return n_params, n_bytes
 
 
-def _phase_breakdown(runner, params, cfg, state, obs, hist, rep, B, steps=6):
+def _phase_breakdown(runner, params, cfg, state, obs, hist, rep, B, steps=6,
+                     prev_gen=None, feed=None):
     """Time perceive / prefill / decode as separate programs and derive
     MFU + HBM-utilization figures (VERDICT r1 item 5).
 
     Figures include the per-dispatch tunnel RTT; ``rtt_ms`` (a trivial
     dispatch) is reported alongside so the on-chip share can be read off.
+
+    ``prev_gen`` is the headline loop's LAST generated ids — one state-step
+    stale relative to ``state``, which is exactly the regime the closed loop
+    runs (step t drafts from step t-1's output).  When provided, the decode
+    slope and spec stats are measured primed (the headline configuration)
+    with the prompt-only numbers kept alongside.
     """
     import jax
     import jax.numpy as jnp
@@ -245,23 +253,31 @@ def _phase_breakdown(runner, params, cfg, state, obs, hist, rep, B, steps=6):
     # (two independent p50s) inside the decode number.
     short_tok = max(new_tok // 2 - 2, 1)
 
-    def gen_short(p, ids, tv, mm, mv):
+    def _gen_n(p, ids, tv, mm, mv, pg, n):
         emb = llava_mod.splice_embeds(p["llava"], cfg.llava, ids, mm, splice)
         av = jax.lax.dynamic_update_slice(tv, mv, (0, splice))
-        # same draft source as the long endpoint (generate_action_ids
-        # builds these): under SPEC_DECODE both slope endpoints must run
-        # the same speculative regime or the slope mixes acceptance rates
+        # same draft source as generate_action_ids: both slope endpoints
+        # must run the same speculative regime or the slope mixes
+        # acceptance rates; pg rows of -1 never match (unprimed)
         lookup = None
         if ids.shape[0] == 1:
             lookup = jnp.where(
                 tv & (ids != p3.image_token_id), ids, -1
             )
+            lookup = jnp.concatenate(
+                [lookup, jnp.where(pg == p3.pad_token_id, -1, pg)], axis=1
+            )
         return llava_mod.generate(
-            p["llava"], cfg.llava, emb, av, max_new_tokens=short_tok,
+            p["llava"], cfg.llava, emb, av, max_new_tokens=n,
             lookup_ids=lookup,
         )
 
-    gs = jax.jit(gen_short)
+    import functools
+
+    gs = jax.jit(functools.partial(_gen_n, n=short_tok))
+    gl = jax.jit(functools.partial(_gen_n, n=new_tok))
+    no_pg = jnp.full((B, new_tok), -1, jnp.int32)
+    pg = no_pg if prev_gen is None else jnp.asarray(prev_gen)
 
     rgb, depth = rep(obs.rgb), rep(obs.depth)
     pos, hd = rep(obs.position), jnp.asarray(
@@ -272,9 +288,9 @@ def _phase_breakdown(runner, params, cfg, state, obs, hist, rep, B, steps=6):
     _sync(out.mm_valid)
     # warm compiles
     _sync(pf(params, ids, tvalid, out.mm_tokens, out.mm_valid))
-    gen = runner._generate(params, ids, tvalid, out.mm_tokens, out.mm_valid)
+    gen = gl(params, ids, tvalid, out.mm_tokens, out.mm_valid, pg)
     _sync(gen)
-    gen_s = gs(params, ids, tvalid, out.mm_tokens, out.mm_valid)
+    gen_s = gs(params, ids, tvalid, out.mm_tokens, out.mm_valid, pg)
     _sync(gen_s)
     _sync(triv(hd))
 
@@ -292,10 +308,10 @@ def _phase_breakdown(runner, params, cfg, state, obs, hist, rep, B, steps=6):
     )
     prefill_ms = t(lambda: pf(params, ids, tvalid, out.mm_tokens, out.mm_valid))
     generate_ms = t(
-        lambda: runner._generate(params, ids, tvalid, out.mm_tokens, out.mm_valid)
+        lambda: gl(params, ids, tvalid, out.mm_tokens, out.mm_valid, pg)
     )
     generate_short_ms = t(
-        lambda: gs(params, ids, tvalid, out.mm_tokens, out.mm_valid)
+        lambda: gs(params, ids, tvalid, out.mm_tokens, out.mm_valid, pg)
     )
 
     # tokens actually generated (random weights usually never emit stop)
@@ -350,28 +366,65 @@ def _phase_breakdown(runner, params, cfg, state, obs, hist, rep, B, steps=6):
         )
     else:
         # measured speculation stats for THIS bench's decode stream
-        # (random weights: often the drafting best case — the realistic-
-        # text acceptance study lives in tools/spec_acceptance.py and
-        # docs/BENCH_NOTES.md)
-        def gen_stats(p, ids, tv, mm, mv):
+        # (random weights: the realistic-text acceptance study lives in
+        # tools/spec_acceptance.py and docs/BENCH_NOTES.md).  Measured both
+        # primed (prev-step generation in the draft source — the headline
+        # loop's regime) and prompt-only, so the priming win is explicit.
+        def gen_stats(p, ids, tv, mm, mv, pgk):
             emb = llava_mod.splice_embeds(
                 p["llava"], cfg.llava, ids, mm, splice
             )
             av = jax.lax.dynamic_update_slice(tv, mv, (0, splice))
             lookup = jnp.where(tv & (ids != p3.image_token_id), ids, -1)
-            _, st = phi3_mod.greedy_decode_spec(
+            lookup = jnp.concatenate(
+                [lookup, jnp.where(pgk == p3.pad_token_id, -1, pgk)], axis=1
+            )
+            g, st = phi3_mod.greedy_decode_spec(
                 p["llava"]["phi3"], p3, emb, av, new_tok,
                 lookup_ids=lookup, return_stats=True,
             )
-            return st["tokens"], st["passes"]
+            return g, st["tokens"], st["passes"]
 
-        toks, passes = jax.jit(gen_stats)(
-            params, ids, tvalid, out.mm_tokens, out.mm_valid
+        stats_fn = jax.jit(gen_stats)
+        _, toks, passes = stats_fn(
+            params, ids, tvalid, out.mm_tokens, out.mm_valid, pg
         )
         toks, passes = int(np.asarray(toks)), int(np.asarray(passes))
         out_fields["spec_tokens"] = toks
         out_fields["spec_passes"] = passes
         out_fields["spec_tokens_per_pass"] = round(toks / max(passes, 1), 2)
+        if prev_gen is not None:
+            _, t0u, p0u = stats_fn(
+                params, ids, tvalid, out.mm_tokens, out.mm_valid, no_pg
+            )
+            t0u, p0u = int(np.asarray(t0u)), int(np.asarray(p0u))
+            out_fields["spec_tokens_per_pass_unprimed"] = round(
+                t0u / max(p0u, 1), 2
+            )
+        if prev_gen is not None and feed is not None:
+            # LOOP-regime stats: evolve state + frame for a few steps, each
+            # step primed by the PREVIOUS step's actual generation — the
+            # number the headline loop really runs at (the static estimate
+            # above holds obs/state fixed, which overstates acceptance when
+            # the generation drifts frame-to-frame)
+            sim_state, pgk, tp = state, pg, []
+            o2 = obs
+            for _ in range(4):
+                o2, _, _ = feed.step((0.1, 0.25))
+                po = runner._perceive(
+                    params, sim_state, rep(o2.rgb), rep(o2.depth),
+                    rep(o2.position),
+                    jnp.asarray(np.full((B,), o2.heading, np.float32)),
+                )
+                sim_state = po.state
+                g, tk, ps = stats_fn(
+                    params, ids, tvalid, po.mm_tokens, po.mm_valid, pgk
+                )
+                tp.append(int(np.asarray(tk)) / max(int(np.asarray(ps)), 1))
+                pgk = g
+            out_fields["spec_tokens_per_pass_loop"] = round(
+                float(np.mean(tp)), 2
+            )
     return out_fields
 
 
@@ -411,16 +464,21 @@ def waypoint_bench():
     )
     wparams = init_waypoint_params(kw, wcfg, depth_feat_dim=feat.shape[-1])
 
-    def wp(dep12):  # [1,12,Hd,Wd] raw depth (vln_loop._wp)
+    # params as jit ARGUMENTS (not closure constants): embedding ~25M resnet
+    # weights as HLO constants forces a device->host download at lowering
+    # time and keys the persistent compile cache on the weight VALUES — the
+    # 28-minute cold compile seen in round 4 (VERDICT r4 weak #5)
+    def wp(dp, wp_, dep12):  # [1,12,Hd,Wd] raw depth (vln_loop._wp)
         d = policy_3dff.clockwise_reorder(dep12)
         d = preprocess_depth(
             d.reshape(12, *d.shape[2:])[..., None], (0.0, 10.0)
         ) / 10.0
-        feats = encode_depth(dparams, dcfg, d)
-        hm = predict_heatmap(wparams, wcfg, feats)
+        feats = encode_depth(dp, dcfg, d)
+        hm = predict_heatmap(wp_, wcfg, feats)
         return extract_candidates(wcfg, hm)
 
-    fn = jax.jit(wp)
+    fn_jit = jax.jit(wp)
+    fn = lambda dep12: fn_jit(dparams, wparams, dep12)
     rng = np.random.default_rng(0)
     dep = jnp.asarray(
         rng.uniform(0.05, 0.95, (1, 12, dcfg.input_size, dcfg.input_size))
@@ -916,6 +974,7 @@ def main():
     _sync(triv(hd))
     ids, tvalid, _ = runner._prompt_ids([obs.instruction] * B, [hist] * B)
     n_perc = min(steps, 12)  # fps metric needs far fewer samples
+    prev_g = gen  # warmup step's output primes step 0's drafts
     for k in range(steps):
         # interleaved tunnel-RTT samples (a trivial dispatch+readback):
         # the RTT level drifts over minutes, so sampling it INSIDE the
@@ -931,9 +990,14 @@ def main():
             _sync(o.mm_valid)
             perc.append(time.time() - t0)
         # headline: dispatch the fused step, then overlap the next frame's
-        # render/upload/tokenize with the device compute
+        # render/upload/tokenize with the device compute; the previous step's
+        # generated ids (device-resident) prime the spec-decode drafts, the
+        # production EpisodeRunner.run wiring
         t0 = time.time()
-        st, g = runner._full_step(params, st, rgb, depth, pos, hd, ids, tvalid)
+        st, g = runner._full_step(
+            params, st, rgb, depth, pos, hd, ids, tvalid, prev_g
+        )
+        prev_g = g
         obs, _, _ = feed.step((0.1, 0.25))
         rgb = rep(obs.rgb)
         depth = rep(obs.depth)
@@ -955,8 +1019,11 @@ def main():
         t_up = time.time()
         uplds.append(t_up - t0)
         ids, tvalid, _ = runner._prompt_ids([obs.instruction] * B, [hist] * B)
-        st, g = runner._full_step(params, st, rgb, depth, pos, hd, ids, tvalid)
+        st, g = runner._full_step(
+            params, st, rgb, depth, pos, hd, ids, tvalid, prev_g
+        )
         _sync(g)
+        prev_g = g
         lat_sync.append(time.time() - t0)
 
     p50_ms = float(np.percentile(lat, 50) * 1000.0)
@@ -1002,7 +1069,8 @@ def main():
     if os.environ.get("DYNAM3D_BENCH_BREAKDOWN", "1") not in ("0", "false"):
         try:
             breakdown = _phase_breakdown(
-                runner, params, cfg, st, obs, hist, rep, B
+                runner, params, cfg, st, obs, hist, rep, B, prev_gen=prev_g,
+                feed=feed,
             )
         except Exception as e:  # pragma: no cover - diagnostics only
             breakdown = {"breakdown_error": str(e)[:200]}

@@ -257,11 +257,20 @@ def generate_action_ids(
     mm_tokens: jnp.ndarray,
     mm_valid: jnp.ndarray,
     splice_start: int = 2,
+    prev_gen: Optional[jnp.ndarray] = None,   # [B,new_tok] last step's ids
 ) -> jnp.ndarray:
     """Eval path: splice + greedy decode (Policy_Dynam3D_VLN.py:430-469).
 
     ``splice_start`` is the first <image> position — 2 for the HF phi-3
     tokenizer (the reference's fixed index, ":393"), 3 for ByteTokenizer.
+
+    ``prev_gen`` primes the speculative-decode draft source with the
+    PREVIOUS step's generated token ids: consecutive VLN actions repeat
+    heavily ("move 4 steps." streaks, the quantized 15-degree/0.25 m grammar
+    of Policy_Dynam3D_VLN.py:472-506), and the raw ids of the last action
+    are a stronger n-gram source than its re-tokenized history rendering.
+    Greedy-exact regardless — every draft is verified against the model's
+    own argmax (phi3.greedy_decode_spec).
     """
     emb = llava_mod.splice_embeds(
         params["llava"], cfg.llava, input_ids, mm_tokens, splice_start
@@ -273,6 +282,13 @@ def generate_action_ids(
         text_valid & (input_ids != cfg.llava.phi3.image_token_id),
         input_ids, -1,
     )
+    if prev_gen is not None:
+        # appended LAST: _ngram_draft prefers the most recent match, so the
+        # previous action's continuation wins over older prompt occurrences
+        prev = jnp.where(
+            prev_gen == cfg.llava.phi3.pad_token_id, -1, prev_gen
+        ).astype(lookup_ids.dtype)
+        lookup_ids = jnp.concatenate([lookup_ids, prev], axis=1)
     return llava_mod.generate(
         params["llava"], cfg.llava, emb, attn_valid, lookup_ids=lookup_ids
     )
@@ -320,6 +336,7 @@ def full_step(
     input_ids: jnp.ndarray,
     text_valid: jnp.ndarray,
     splice_start: int = 2,
+    prev_gen: Optional[jnp.ndarray] = None,
 ) -> Tuple[FieldState, jnp.ndarray]:
     """Perceive + generate fused into ONE device program.
 
@@ -329,12 +346,15 @@ def full_step(
     a tunneled chip and ~10 us of launch overhead on a local one, and fusing
     also lets XLA overlap the vision tower with the prefill).
 
+    ``prev_gen`` (last step's generated ids) primes the speculative-decode
+    draft source — see :func:`generate_action_ids`.
+
     Returns (new_state, generated ids [B, max_new_tokens]).
     """
     out = perceive(params, cfg, state, rgb, depth_raw, position_hab, heading)
     gen = generate_action_ids(
         params, cfg, input_ids, text_valid, out.mm_tokens, out.mm_valid,
-        splice_start,
+        splice_start, prev_gen=prev_gen,
     )
     return out.state, gen
 

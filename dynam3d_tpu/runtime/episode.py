@@ -58,12 +58,24 @@ class EpisodeRunner:
         # fused single-dispatch step (tokenize first, then one device call);
         # the memory tables are DONATED so XLA updates them in place rather
         # than copying ~P_cap x D of state every step
-        self._full_step = jax.jit(
-            lambda p, st, rgb, d, pos, hd, ids, tv: policy_mod.full_step(
-                p, cfg, st, rgb, d, pos, hd, ids, tv, self.splice_start
+        self._full_step_jit = jax.jit(
+            lambda p, st, rgb, d, pos, hd, ids, tv, pg: policy_mod.full_step(
+                p, cfg, st, rgb, d, pos, hd, ids, tv, self.splice_start,
+                prev_gen=pg,
             ),
             donate_argnums=(1,),
         )
+
+    def _full_step(self, p, st, rgb, d, pos, hd, ids, tv, prev_gen=None):
+        """One fused device step; ``prev_gen`` ([B,new_tok] last generated
+        ids) primes the speculative-decode draft source (models/policy.py).
+        ``None`` (step 0 / external callers) passes never-match sentinels,
+        keeping one compiled program for both cases."""
+        if prev_gen is None:
+            prev_gen = jnp.full(
+                (ids.shape[0], self.cfg.llava.max_new_tokens), -1, jnp.int32
+            )
+        return self._full_step_jit(p, st, rgb, d, pos, hd, ids, tv, prev_gen)
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -166,6 +178,10 @@ class EpisodeRunner:
         # the step (the reference overlaps render/compute via per-env worker
         # processes, env_utils.py:119-126).
         dev_obs: Dict[int, Tuple] = {i: self._upload(obs[i]) for i in live}
+        # per-episode previous generation: primes the spec-decode drafts
+        # (consecutive actions repeat; see policy.generate_action_ids)
+        last_gen: Dict[int, np.ndarray] = {}
+        no_gen = np.full((self.cfg.llava.max_new_tokens,), -1, np.int32)
 
         for stepk in range(max_steps):
             rgb = jnp.stack([dev_obs[i][0] for i in live])
@@ -179,10 +195,15 @@ class EpisodeRunner:
                 [obs[i].instruction for i in live],
                 [act_state[i].history_actions for i in live],
             )
+            prev = jnp.asarray(
+                np.stack([last_gen.get(i, no_gen) for i in live])
+            )
             state, gen = self._full_step(
-                self.params, state, rgb, depth, pos, hd, ids, tvalid
+                self.params, state, rgb, depth, pos, hd, ids, tvalid, prev
             )
             gen = np.asarray(gen)
+            for row, i in enumerate(live):
+                last_gen[i] = gen[row]
 
             done_now: List[int] = []
             for row, i in enumerate(list(live)):

@@ -515,3 +515,86 @@ def test_ngram_draft_lookup():
     np.testing.assert_array_equal(draft(-1, 8, 8), [-1, -1])
     # unigram on last=2 when prev < 0
     np.testing.assert_array_equal(draft(-1, -1, 2), [4, 1])
+
+
+def test_prev_gen_priming_exact_and_fewer_passes(monkeypatch):
+    """Draft-from-history priming (generate_action_ids prev_gen): feeding
+    the previous step's generated ids into the lookup keeps the stream
+    greedy-EXACT and, when the new step's greedy output repeats it (the
+    'move 4 steps.' streak regime, Policy_Dynam3D_VLN.py:472-506), the
+    pass count collapses toward ceil(n/k)."""
+    cfg = _cfg()
+    params = phi3.init_phi3_params(jax.random.PRNGKey(5), cfg)
+    embeds, valid = _prompt(cfg, 5)
+    n = 16
+
+    ref = np.asarray(
+        jax.jit(lambda p, e, v: phi3.greedy_decode(p, cfg, e, v, n,
+                                                   stop_token=-1))(
+            params, embeds, valid)
+    )[0]
+    # prev_gen == this step's own greedy output (identical-repeat regime),
+    # wired exactly as policy.generate_action_ids does: prompt lookup ids
+    # then the pad-masked previous generation, appended LAST
+    prompt_lookup = np.full((8,), -1, np.int32)   # all-image prompt: no text
+    prev = ref.copy()
+    lookup = np.concatenate([prompt_lookup, prev])
+    got, stats = jax.jit(
+        lambda p, e, v, lk: phi3.greedy_decode_spec(
+            p, cfg, e, v, n, stop_token=-1, lookup_ids=lk,
+            return_stats=True)
+    )(params, embeds, valid, jnp.asarray(lookup))
+    np.testing.assert_array_equal(np.asarray(got)[0], ref)
+    k = phi3.flags.SPEC_DRAFT_LEN
+    assert int(stats["passes"]) <= -(-n // max(k - 1, 1)) + 1, (
+        f"priming should collapse passes, got {int(stats['passes'])}"
+    )
+
+    # a STALE prev_gen (tokens the model never emits) must not corrupt the
+    # stream — drafts get rejected, output stays exact
+    stale = np.full((n,), 3, np.int32)
+    got2 = jax.jit(
+        lambda p, e, v, lk: phi3.greedy_decode_spec(
+            p, cfg, e, v, n, stop_token=-1,
+            lookup_ids=lk)
+    )(params, embeds, valid,
+      jnp.asarray(np.concatenate([prompt_lookup, stale])))
+    np.testing.assert_array_equal(np.asarray(got2)[0], ref)
+
+
+def test_generate_action_ids_prev_gen_plumbing():
+    """Policy-layer plumbing: prev_gen changes pass economics only — the
+    emitted ids are identical with None, never-match, and self-primed
+    prev_gen (pads masked to -1 so pad ids are never drafted)."""
+    from dynam3d_tpu.models import policy as policy_mod
+    from tests.test_e2e_slice import tiny_config
+
+    cfg = tiny_config()
+    params = policy_mod.init_policy_params(
+        jax.random.PRNGKey(1), cfg, llm_dtype=jnp.float32
+    )
+    p3 = cfg.llava.phi3
+    HW = cfg.fields.input_height * cfg.fields.input_width
+    n_mm = HW + policy_mod.I_ENV + policy_mod.Z_ENV
+    T = 8 + n_mm
+    rng = np.random.default_rng(2)
+    ids = np.full((1, T), p3.pad_token_id, np.int32)
+    ids[0, :4] = rng.integers(5, 50, 4)
+    ids[0, 4 : 4 + n_mm] = p3.image_token_id
+    ids[0, 4 + n_mm : 6 + n_mm] = rng.integers(5, 50, 2)
+    tvalid = jnp.asarray(np.arange(T)[None] < 6 + n_mm)
+    ids = jnp.asarray(ids)
+    key = jax.random.PRNGKey(3)
+    mm = jax.random.normal(key, (1, n_mm, p3.hidden_size), jnp.float32)
+    mv = jnp.ones((1, n_mm), bool)
+
+    base = np.asarray(policy_mod.generate_action_ids(
+        params, cfg, ids, tvalid, mm, mv, splice_start=4))
+    never = jnp.full((1, cfg.llava.max_new_tokens), -1, jnp.int32)
+    got1 = np.asarray(policy_mod.generate_action_ids(
+        params, cfg, ids, tvalid, mm, mv, splice_start=4, prev_gen=never))
+    got2 = np.asarray(policy_mod.generate_action_ids(
+        params, cfg, ids, tvalid, mm, mv, splice_start=4,
+        prev_gen=jnp.asarray(base)))
+    np.testing.assert_array_equal(got1, base)
+    np.testing.assert_array_equal(got2, base)
