@@ -157,7 +157,16 @@ class VLNTrainer:
         v = np.zeros((1, T), bool)
         a[0, : len(ids)] = ids
         v[0, : len(ids)] = True
-        return jnp.asarray(a), jnp.asarray(v), np.asarray([label_ids], np.int32)
+        # labels are BUCKETED too (mask-padded): an unbucketed [1, len(gt)]
+        # label array makes every distinct gt-text length a fresh XLA
+        # program — at full dims that is a multi-minute recompile per new
+        # action-string length mid-training (surfaced by the round-5 soak)
+        Tg = _round_up(max(len(label_ids), 1), 16)
+        lab = np.full((1, Tg), self.tok.pad_id, np.int32)
+        lmask = np.zeros((1, Tg), bool)
+        lab[0, : len(label_ids)] = label_ids
+        lmask[0, : len(label_ids)] = True
+        return jnp.asarray(a), jnp.asarray(v), jnp.asarray(lab), jnp.asarray(lmask)
 
     def params(self):
         return trainer_vln.merge_params(self.trainable, self.frozen)
@@ -189,11 +198,10 @@ class VLNTrainer:
                 feed = self.feed_factory()
                 break
 
-            ids, tvalid, labels = self._tokenize_full(
+            ids, tvalid, labels, label_mask = self._tokenize_full(
                 obs.instruction, act_state.history_actions, gt
             )
             turn_w = 0.0 if ("stop" in gt or "error" in gt) else 1.0
-            Tg = labels.shape[1]
             # the policy consumes ONLY the forward view (num_of_views=1,
             # ss_trainer_Dynam3D.py:671); a 12-view feed exists for the
             # waypoint predictor's panorama
@@ -204,8 +212,8 @@ class VLNTrainer:
                 heading=jnp.asarray(np.float32([obs.heading])),
                 input_ids=ids,
                 text_valid=tvalid,
-                label_ids=jnp.asarray(labels),
-                label_mask=jnp.ones((1, Tg), bool),
+                label_ids=labels,
+                label_mask=label_mask,
                 turn_weight=jnp.asarray([turn_w], jnp.float32),
             )
             self.trainable, self.opt_state, field_state, m = self._step_fn(
