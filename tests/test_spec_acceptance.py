@@ -35,10 +35,22 @@ def test_simulation_counts_are_exact():
 
 
 def test_study_verdict_is_spec():
+    """Both tokenizer granularities (char + sentencepiece-length word
+    proxy) must clear break-even; the top-level verdict is computed from
+    the WORSE one (VERDICT r4 weak #3)."""
     out = spec_acceptance.main(["--json"])
-    by = {r["scenario"]: r["tokens_per_pass"] for r in out["scenarios"]}
+    char = out["granularity"]["char"]
+    by = {r["scenario"]: r["tokens_per_pass"] for r in char["scenarios"]}
     assert by["repeat"] > 4.0
     assert by["novel-counts"] > 2.0
     assert by["cold-start"] >= 1.0 and by["stop"] >= 1.0
-    assert out["mean_tokens_per_pass"] > out["break_even_tokens_per_pass"]
+    assert char["mean_tokens_per_pass"] > out["break_even_tokens_per_pass"]
+
+    word = out["granularity"]["word"]
+    wby = {r["scenario"]: r["tokens_per_pass"] for r in word["scenarios"]}
+    assert wby["repeat"] > 3.0          # verbatim repeats still draft well
+    assert word["mean_tokens_per_pass"] > out["break_even_tokens_per_pass"]
+    assert out["worst_case_tokens_per_pass"] == min(
+        char["mean_tokens_per_pass"], word["mean_tokens_per_pass"]
+    )
     assert out["verdict"] == "spec"

@@ -22,7 +22,16 @@ greedy token plus ~10% draft-row overhead (docs/BENCH_NOTES.md r3: verify
 pass 4.43 ms vs plain token 4.03 ms at B=1) -> speculation wins when
 tokens/pass > ~1.10.
 
+Granularity sensitivity: char-level streams (~40 tokens/action) are n-gram
+drafting's friendliest case; the production Phi-3 sentencepiece stream is
+~4-8x shorter per action.  ``--granularity word`` runs the same scenarios
+through a word+punctuation proxy tokenizer (~1 token per word, the same
+stream length regime as sentencepiece for this action grammar), and the
+default run reports BOTH so the serving default is justified by the worse
+case (VERDICT r4 weak #3).
+
 Run: python tools/spec_acceptance.py [--draft-len 8] [--json]
+     [--granularity char|word|both]
 """
 
 from __future__ import annotations
@@ -111,25 +120,37 @@ def simulate(prompt_ids, continuation_ids, k: int):
     return N, passes
 
 
-def main(argv=None):
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--draft-len", type=int, default=None)
-    p.add_argument("--json", action="store_true")
-    args = p.parse_args(argv)
+class _WordProxyTokenizer:
+    """Subword-granularity proxy: whitespace words + punctuation marks as
+    atomic ids, special strings (``<image>``, ``<|end|>`` ...) kept atomic.
+    For the quantized action grammar this yields the same ~1-token-per-word
+    stream length regime as the production sentencepiece (Phi-3 emits
+    "▁turn ▁left ▁2 ▁steps , ..."), which is what n-gram acceptance is
+    sensitive to — vocabulary identity is irrelevant to ``_ngram_draft``."""
 
-    import jax
+    _PAT = None
 
-    jax.config.update("jax_platforms", "cpu")
+    def __init__(self):
+        import re
 
-    from dynam3d_tpu import flags
-    from dynam3d_tpu.config import Phi3Config
-    from dynam3d_tpu.models.vlm.tokenizer import ByteTokenizer, build_prompt
+        self._PAT = re.compile(r"<\|?[a-zA-Z_]+\|?>|\w+|[^\w\s]")
+        self._v = {}
+        self.image_id = self._id("<image>")
 
-    k = args.draft_len or max(2, min(int(flags.SPEC_DRAFT_LEN), 8))
-    cfg = Phi3Config()
-    tok = ByteTokenizer(cfg.vocab_size)
+    def _id(self, w):
+        if w not in self._v:
+            self._v[w] = len(self._v) + 10
+        return self._v[w]
+
+    def encode(self, text, add_bos=True):
+        ids = [self._id(w) for w in self._PAT.findall(text)]
+        return ([1] + ids) if add_bos else ids
+
+
+def run_granularity(tok, k: int):
+    from dynam3d_tpu.models.vlm.tokenizer import build_prompt
+
     n_mm = 576 + 37  # 1-view patch grid + typical inst/zone tokens
-
     rows = []
     for name, history, cont in SCENARIOS:
         tp_all = []
@@ -149,14 +170,47 @@ def main(argv=None):
             "min": round(float(np.min(tp_all)), 2),
             "max": round(float(np.max(tp_all)), 2),
         })
-
     mean_tpp = float(np.mean([r["tokens_per_pass"] for r in rows]))
-    out = {
-        "draft_len": k,
-        "break_even_tokens_per_pass": 1.10,
+    return {
         "scenarios": rows,
         "mean_tokens_per_pass": round(mean_tpp, 2),
         "verdict": "spec" if mean_tpp > 1.10 else "greedy",
+    }
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--draft-len", type=int, default=None)
+    p.add_argument("--json", action="store_true")
+    p.add_argument("--granularity", choices=["char", "word", "both"],
+                   default="both")
+    args = p.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from dynam3d_tpu import flags
+    from dynam3d_tpu.config import Phi3Config
+    from dynam3d_tpu.models.vlm.tokenizer import ByteTokenizer
+
+    k = args.draft_len or max(2, min(int(flags.SPEC_DRAFT_LEN), 8))
+    cfg = Phi3Config()
+
+    gran = {}
+    if args.granularity in ("char", "both"):
+        gran["char"] = run_granularity(ByteTokenizer(cfg.vocab_size), k)
+    if args.granularity in ("word", "both"):
+        gran["word"] = run_granularity(_WordProxyTokenizer(), k)
+
+    worst = min(g["mean_tokens_per_pass"] for g in gran.values())
+    out = {
+        "draft_len": k,
+        "break_even_tokens_per_pass": 1.10,
+        "granularity": gran,
+        "worst_case_tokens_per_pass": round(worst, 2),
+        # the serving default is justified by the WORSE granularity
+        "verdict": "spec" if worst > 1.10 else "greedy",
     }
     if args.json:
         print(json.dumps(out))
