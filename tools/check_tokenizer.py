@@ -112,13 +112,77 @@ def run_checks(path: str) -> dict:
     return checks
 
 
+def build_fixture(path: str) -> str:
+    """A llava-phi-3-LIKE byte-level tokenizer saved to ``path``: same
+    structural conventions (bos post-processor, rstrip'ing chat specials,
+    plain <image>), different ids — the --self-test asset.  Mirrors the
+    fixture in tests/test_hf_tokenizer.py."""
+    from tokenizers import AddedToken, Regex, Tokenizer, pre_tokenizers
+    from tokenizers.models import WordLevel
+    from tokenizers.decoders import ByteLevel as ByteLevelDecoder
+    from tokenizers.processors import TemplateProcessing
+    from transformers import PreTrainedTokenizerFast
+
+    vocab = {"<unk>": 0, "<s>": 1, "</s>": 2}
+    for ch in sorted(pre_tokenizers.ByteLevel.alphabet()):
+        vocab[ch] = len(vocab)
+    tok = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Sequence([
+        pre_tokenizers.ByteLevel(add_prefix_space=False, use_regex=False),
+        pre_tokenizers.Split(Regex("[\\s\\S]"), "isolated"),
+    ])
+    tok.decoder = ByteLevelDecoder()
+    tok.post_processor = TemplateProcessing(
+        single="<s> $A", pair="<s> $A <s> $B", special_tokens=[("<s>", 1)]
+    )
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok, unk_token="<unk>", bos_token="<s>",
+        eos_token="</s>", pad_token="<pad>",
+    )
+    fast.add_special_tokens({
+        "additional_special_tokens": [
+            AddedToken("<|user|>", rstrip=True, special=True),
+            AddedToken("<|end|>", rstrip=True, special=True),
+            AddedToken("<|assistant|>", rstrip=True, special=True),
+            AddedToken("<image>", special=True),
+        ]
+    })
+    fast.save_pretrained(path)
+    return path
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--path", required=True,
+    p.add_argument("--path", default=None,
                    help="local HF tokenizer dir (llava-phi-3-mini-hf)")
+    p.add_argument("--self-test", action="store_true",
+                   help="run the checker against the built-in llava-phi-3-"
+                        "like fixture: the structural checks (C1, C4-C8) "
+                        "must pass and the id-arithmetic checks (C2/C3) "
+                        "must correctly flag that it is NOT the real asset")
+    p.add_argument("--json", action="store_true",
+                   help="single-line JSON output")
     args = p.parse_args(argv)
+    if not args.path and not args.self_test:
+        p.error("--path or --self-test required")
+
+    if args.self_test:
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            checks = run_checks(build_fixture(td))
+        structural = ("C1_single_token_image", "C4_static_splice_offset",
+                      "C5_contiguous_span", "C6_no_whitespace_absorption",
+                      "C7_action_text_roundtrip", "C8_vocab_bound")
+        ok = all(checks[k]["ok"] for k in structural) and not (
+            checks["C2_image_id"]["ok"] or checks["all_ok"]
+        )
+        out = {"self_test_ok": ok, "checks": checks}
+        print(json.dumps(out) if args.json else json.dumps(out, indent=2))
+        return 0 if ok else 1
+
     checks = run_checks(args.path)
-    print(json.dumps(checks, indent=2))
+    print(json.dumps(checks) if args.json else json.dumps(checks, indent=2))
     return 0 if checks["all_ok"] else 1
 
 
