@@ -563,6 +563,7 @@ def greedy_decode(
 def _ngram_draft(
     hist: jnp.ndarray,   # [Lh] int32 token history; entries < 0 never match
     n_hist,              # int32 scalar: live entries (hist[n_hist-1] is last)
+    prev3_tok,           # int32 scalar; < 0 -> no 4-gram tier
     prev2_tok,           # int32 scalar; < 0 -> no trigram tier
     prev_tok,            # int32 scalar; < 0 -> unigram match on last_tok only
     last_tok,            # int32 scalar
@@ -570,23 +571,34 @@ def _ngram_draft(
 ) -> jnp.ndarray:
     """Prompt-lookup draft: the ``k-1`` tokens that followed the most
     recent EARLIER occurrence of the current n-gram in ``hist`` —
-    longest-match cascade trigram ``(prev2, prev, last)`` -> bigram
-    ``(prev, last)`` -> unigram ``last`` (a longer key is a more precise
-    continuation predictor); all ``-1`` (never-accepted sentinels) when
-    no occurrence exists."""
+    longest-match cascade 4-gram ``(prev3, prev2, prev, last)`` -> trigram
+    ``(prev2, prev, last)`` -> bigram ``(prev, last)`` -> unigram ``last``
+    (a longer key is a more precise continuation predictor — the 4-gram
+    tier matters for short-token streams where 2-3 tokens of context are
+    ambiguous, e.g. char-level repeats of "steps,"); all ``-1``
+    (never-accepted sentinels) when no occurrence exists."""
     Lh = hist.shape[0]
     idx = jnp.arange(Lh - 1)
     a0, a1 = hist[:-1], hist[1:]
     before_tail = idx + 1 < n_hist - 1   # exclude the terminal occurrence
     live = (a1 >= 0) & before_tail
     am1 = jnp.concatenate([jnp.full((1,), -9, hist.dtype), hist[:-2]])
+    am2 = jnp.concatenate([jnp.full((2,), -9, hist.dtype), hist[:-3]])
+    quad = (
+        (am2 == prev3_tok) & (am1 == prev2_tok) & (a0 == prev_tok)
+        & (a1 == last_tok) & (am2 >= 0) & (am1 >= 0) & (a0 >= 0) & live
+        & (prev3_tok >= 0) & (prev2_tok >= 0) & (prev_tok >= 0)
+    )
     tri = (
         (am1 == prev2_tok) & (a0 == prev_tok) & (a1 == last_tok)
         & (am1 >= 0) & (a0 >= 0) & live & (prev2_tok >= 0) & (prev_tok >= 0)
     )
     bi = (a0 == prev_tok) & (a1 == last_tok) & (a0 >= 0) & live & (prev_tok >= 0)
     uni = (a1 == last_tok) & live
-    m = jnp.where(jnp.any(tri), tri, jnp.where(jnp.any(bi), bi, uni))
+    m = jnp.where(
+        jnp.any(quad), quad,
+        jnp.where(jnp.any(tri), tri, jnp.where(jnp.any(bi), bi, uni)),
+    )
     found = jnp.any(m)
     p = jnp.max(jnp.where(m, idx, -1))
     start = jnp.clip(p + 2, 0, Lh - (k - 1))
@@ -683,7 +695,12 @@ def greedy_decode_spec(
 
     def body(c):
         n_em, ckv, valid, out, hist, last, done, prev, prev2, npass = c
-        drf = _ngram_draft(hist, S + n_em, prev2, prev, last, k)
+        # prev3 read from hist (not carried): at n_em < 4 this lands in the
+        # lookup tail — the prompt's true last text token (or a -1 pad when
+        # prev_gen priming pads the tail), both safe n-gram context
+        b3 = S + n_em - 4
+        prev3 = jnp.where(b3 >= 0, hist[jnp.maximum(b3, 0)], -1)
+        drf = _ngram_draft(hist, S + n_em, prev3, prev2, prev, last, k)
         d = jnp.concatenate([last[None], drf])                    # [k]
         pos0 = n_pos0 + n_em - 1
         wslot = T + n_em - 1
@@ -918,9 +935,13 @@ def greedy_decode_spec_batched(
 
     def body(c):
         n_em, ckv, valid, out, hist, last, done, prev, prev2, npass = c
+        b3 = S + n_em - 4                                         # [B]
+        prev3 = jnp.where(
+            b3 >= 0, hist[bidx, jnp.maximum(b3, 0)], -1
+        )
         drf = jax.vmap(
-            lambda h, n, p2, p1, l: _ngram_draft(h, n, p2, p1, l, g)
-        )(hist, S + n_em, prev2, prev, last)                      # [B,g-1]
+            lambda h, n, p3, p2, p1, l: _ngram_draft(h, n, p3, p2, p1, l, g)
+        )(hist, S + n_em, prev3, prev2, prev, last)               # [B,g-1]
         d = jnp.concatenate([last[:, None], drf], axis=1)         # [B,g]
         e = embed(params, jnp.clip(d, 0)).astype(embeds.dtype)
         pos0 = n_pos0 + n_em - 1

@@ -496,14 +496,15 @@ def test_spec_through_episode_runner(monkeypatch):
 
 
 def test_ngram_draft_lookup():
-    """Unit: trigram > bigram > unigram cascade; terminal occurrence and
-    -1 holes never match."""
+    """Unit: 4-gram > trigram > bigram > unigram cascade; terminal
+    occurrence and -1 holes never match."""
     hist = jnp.asarray([5, 9, 2, 7, -1, 9, 2, 4, 1, 9, 2], jnp.int32)
     n_hist = 11   # last = 2 at index 10, prev = 9, prev2 = 1
 
-    def draft(p2, p1, last, k=3):
+    def draft(p2, p1, last, k=3, p3=-1):
         return np.asarray(phi3._ngram_draft(
-            hist, n_hist, jnp.int32(p2), jnp.int32(p1), jnp.int32(last), k))
+            hist, n_hist, jnp.int32(p3), jnp.int32(p2), jnp.int32(p1),
+            jnp.int32(last), k))
 
     # bigram (9,2): matches at idx 1 and 5 (terminal idx 9 excluded);
     # trigram (1,9,2) has no earlier occurrence -> falls to the bigram
@@ -515,6 +516,23 @@ def test_ngram_draft_lookup():
     np.testing.assert_array_equal(draft(-1, 8, 8), [-1, -1])
     # unigram on last=2 when prev < 0
     np.testing.assert_array_equal(draft(-1, -1, 2), [4, 1])
+
+    # 4-gram disambiguates where the trigram is ambiguous: (9,2,4) occurs
+    # twice with different predecessors — the quad (7,9,2,4) must pick the
+    # EARLY occurrence (continuation [8,8]) over the more recent trigram
+    # match whose predecessor differs (continuation [3,5])
+    hist2 = jnp.asarray(
+        [7, 9, 2, 4, 8, 8, 1, 9, 2, 4, 3, 5, 7, 9, 2, 4], jnp.int32
+    )
+
+    def draft2(p3, p2, p1, last, k=3):
+        return np.asarray(phi3._ngram_draft(
+            hist2, 16, jnp.int32(p3), jnp.int32(p2), jnp.int32(p1),
+            jnp.int32(last), k))
+
+    np.testing.assert_array_equal(draft2(7, 9, 2, 4), [8, 8])
+    # without the quad context the trigram picks the most recent match
+    np.testing.assert_array_equal(draft2(-1, 9, 2, 4), [3, 5])
 
 
 def test_prev_gen_priming_exact_and_fewer_passes(monkeypatch):

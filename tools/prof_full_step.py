@@ -77,8 +77,9 @@ def main(argv=None):
                        np.asarray(obs.position, np.float32),
                        np.float32(obs.heading)))
         obs, _, _ = feed.step((0.1, 0.25))
-    rgb = jnp.asarray(np.stack([f[0] for f in frames]))[:, None]   # [N,1,H,W,3]
-    depth = jnp.asarray(np.stack([f[1] for f in frames]))[:, None]
+    # obs.rgb/depth already carry the leading views dim -> [N,V,...]
+    rgb = jnp.asarray(np.stack([f[0] for f in frames]))
+    depth = jnp.asarray(np.stack([f[1] for f in frames]))
     pos = jnp.asarray(np.stack([f[2] for f in frames]))
     hd = jnp.asarray(np.stack([f[3] for f in frames]))
     ids, tvalid, _ = runner._prompt_ids([obs.instruction], [["none\n"] * 4])

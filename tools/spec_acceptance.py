@@ -104,8 +104,11 @@ def simulate(prompt_ids, continuation_ids, k: int):
         last = continuation_ids[n_em - 1]
         prev = continuation_ids[n_em - 2] if n_em >= 2 else -1
         prev2 = continuation_ids[n_em - 3] if n_em >= 3 else -1
+        # prev3 from hist, as the production loop reads it (phi3 body)
+        b3 = S + n_em - 4
+        prev3 = int(hist[b3]) if b3 >= 0 else -1
         drf = np.asarray(_ngram_draft(
-            jnp.asarray(hist), S + n_em, prev2, prev, last, k
+            jnp.asarray(hist), S + n_em, prev3, prev2, prev, last, k
         ))
         acc = 1
         for j in range(k - 1):
