@@ -1089,11 +1089,19 @@ def main():
             except ValueError:
                 continue
             r = row.get("line", {})
-            if row.get("mode") in ("train", "pretrain", "waypoint") and \
+            if row.get("mode") in ("train", "train_b8", "pretrain",
+                                   "waypoint", "full_step_chain") and \
                     isinstance(r, dict) and "value" in r:
-                breakdown[r.get("metric", row["mode"])] = r["value"]
+                key = r.get("metric", row["mode"])
+                if row["mode"] == "train_b8":
+                    key = "train_step_b8_p50_ms"
+                breakdown[key] = r["value"]
                 if row["mode"] == "train":
                     breakdown["train_mfu_pct"] = r.get("extra", {}).get(
+                        "train_mfu_pct"
+                    )
+                if row["mode"] == "train_b8":
+                    breakdown["train_b8_mfu_pct"] = r.get("extra", {}).get(
                         "train_mfu_pct"
                     )
 

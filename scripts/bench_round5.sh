@@ -32,6 +32,7 @@ run train     env DYNAM3D_BENCH_MODE=train DYNAM3D_BENCH_STEPS=6 python -u bench
 run train_b8  env DYNAM3D_BENCH_MODE=train DYNAM3D_BENCH_STEPS=4 DYNAM3D_BENCH_BATCH=8 python -u bench.py
 run pretrain  env DYNAM3D_BENCH_MODE=pretrain DYNAM3D_BENCH_STEPS=3 python -u bench.py
 run waypoint  env DYNAM3D_BENCH_MODE=waypoint python -u bench.py
+run full_step_chain python -u tools/prof_full_step.py
 
 # --- optional: full-size synth conversion round-trip (~40 min, CPU) ---
 if [ "${DYNAM3D_R5_SYNTH:-0}" = "1" ]; then
