@@ -213,7 +213,13 @@ class EpisodeRunner:
                     text = text[:cut]
                 act_state[i].push_history(text + "\n")
                 action = parse_action(text, cfg.action)
-                if ignore_stop and action == STOP and stepk < max_steps - 1:
+                if ignore_stop and stepk < max_steps - 1 and (
+                    action == STOP
+                    or (action[0] == 0.0 and action[1] == 0.0)
+                ):
+                    # zero-actions (unparseable text) also terminate the
+                    # episode below; the serving-soak contract is "run the
+                    # full max_steps", so substitute those too
                     action = (0.1, 0.25)
                 if action == STOP or stepk == max_steps - 1 or (
                     action != STOP and action[0] == 0.0 and action[1] == 0.0

@@ -48,6 +48,13 @@ class VLNTrainer:
     reference's env construction; it is re-invoked every
     ``recycle_every`` episodes to mirror the habitat memory-leak workaround
     (ss_trainer_Dynam3D.py:577-587).
+
+    OWNERSHIP: the trainer's jitted step donates its trainable/opt/state
+    buffers (in-place updates — two 7.4 GB bf16 Phi-3 trees don't fit a
+    16 GB v5e), so the trainable subtree of ``params`` is CONSUMED by the
+    first step; callers must not reuse those arrays (re-init or reload to
+    build a second trainer), matching the reference where the policy's
+    parameters belong to the optimizer/DDP module for the training run.
     """
 
     def __init__(
@@ -79,8 +86,12 @@ class VLNTrainer:
         self.trainable, self.frozen = trainer_vln.split_params(params)
         self.optimizer = trainer_vln.make_optimizer(cfg)
         self.opt_state = self.optimizer.init(self.trainable)
+        # trainable/opt/field-state DONATED: without donation the step holds
+        # old+new trainable simultaneously (2 x 7.4 GB bf16 Phi-3 at full
+        # dims) and OOMs a 16 GB v5e — the round-5 soak hit exactly this
         self._step_fn = jax.jit(
-            trainer_vln.make_train_step(cfg, self.optimizer, self.splice_start)
+            trainer_vln.make_train_step(cfg, self.optimizer, self.splice_start),
+            donate_argnums=(0, 2, 3),
         )
         # frozen waypoint predictor path (used when the feed provides the
         # 12-view depth panorama, as the reference does at
@@ -294,9 +305,13 @@ def evaluate(
     rank: int = 0,
     world: int = 1,
     fast_eval: bool = False,
+    ignore_stop: bool = False,
 ) -> Dict[str, float]:
     """Eval driver (_eval_checkpoint, ss_trainer_Dynam3D.py:331-431):
-    rank-sharded episodes, per-episode metrics, stats json artifacts."""
+    rank-sharded episodes, per-episode metrics, stats json artifacts.
+
+    ``ignore_stop`` forwards to EpisodeRunner.run — the full-trajectory
+    serving-soak mode for untrained weights (see run's docstring)."""
     from dynam3d_tpu.runtime.episode import EpisodeRunner
 
     idxs = metrics_mod.shard_episodes(range(len(feeds)), rank, world)
@@ -305,7 +320,10 @@ def evaluate(
     runner = EpisodeRunner(params, cfg, tokenizer)
     stat_eps: Dict[str, Dict[str, float]] = {}
     for i in idxs:
-        res = runner.run([feeds[i]], max_steps=cfg.train.max_traj_len)[0]
+        res = runner.run(
+            [feeds[i]], max_steps=cfg.train.max_traj_len,
+            ignore_stop=ignore_stop,
+        )[0]
         pred_path = np.asarray(res.get("position", [[0, 0, 0]]), np.float32)
         dists = np.asarray(
             [feeds[i].oracle_distance(p) for p in pred_path], np.float32

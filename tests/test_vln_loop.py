@@ -19,8 +19,12 @@ from dynam3d_tpu.runtime.vln_loop import (
 from tests.test_e2e_slice import tiny_config
 
 
-@pytest.fixture(scope="module")
+@pytest.fixture(scope="function")
 def setup():
+    # function-scoped: VLNTrainer's donated step CONSUMES the trainable
+    # subtree of the params it is constructed from (ownership contract,
+    # see VLNTrainer docstring) — a shared module-scope tree would hand
+    # later tests deleted buffers
     cfg = tiny_config()
     params = policy_mod.init_policy_params(
         jax.random.PRNGKey(0), cfg, llm_dtype=jnp.float32
@@ -52,9 +56,13 @@ def test_train_updates_params_and_checkpoints(setup, tmp_path):
         lambda a, x: a + float(jnp.abs(x).sum()), trainer.trainable, 0.0
     )
     assert before != after
-    # checkpoint written + resume works
+    # checkpoint written + resume works (fresh params: trainer 1 consumed
+    # the original tree's trainable buffers via donation)
     assert any(d.startswith("ckpt.iter") for d in os.listdir(tmp_path))
-    t2 = VLNTrainer(params, cfg, _feed)
+    params2 = policy_mod.init_policy_params(
+        jax.random.PRNGKey(0), cfg, llm_dtype=jnp.float32
+    )
+    t2 = VLNTrainer(params2, cfg, _feed)
     step = t2.resume(str(tmp_path))
     assert step == 1
 

@@ -96,9 +96,11 @@ def main(argv=None):
 
     os.makedirs(args.out, exist_ok=True)
     t0 = time.time()
+    # ignore_stop: random weights decode to unparseable/stop text almost
+    # immediately; the soak's purpose is full-trajectory machinery coverage
     agg = vln_loop.evaluate(
         params, cfg, feeds, gt_paths, out_dir=args.out,
-        ckpt_name="soak_r05", rank=0, world=args.world,
+        ckpt_name="soak_r05", rank=0, world=args.world, ignore_stop=True,
     )
     wall = time.time() - t0
     report = {

@@ -97,6 +97,29 @@ def il_soak(args, cfg, out):
     mid = max(args.il_steps // 2, 1)
     probe = {}
 
+    # loss-only probe (no optimizer step: the production step donates its
+    # trainable/opt buffers, so "run a step and discard it" would consume
+    # the live training state)
+    from dynam3d_tpu.runtime import trainer_vln
+
+    splice = trainer.splice_start  # plain int: the closure must NOT hold
+    # the trainer object alive (its 9.7 GB params would pin HBM after del)
+
+    @jax.jit
+    def probe_loss(trainable, frozen, field_state, batch):
+        p = trainer_vln.merge_params(trainable, frozen)
+        out = policy_mod.perceive(
+            p, cfg, field_state, batch.rgb, batch.depth,
+            batch.position, batch.heading,
+        )
+        tl = policy_mod.train_loss(
+            p, cfg, batch.input_ids, batch.text_valid,
+            out.mm_tokens, out.mm_valid,
+            batch.label_ids, batch.label_mask, batch.turn_weight,
+            splice,
+        )
+        return tl.loss
+
     # drive episodes until the step budget is spent; save + probe at midpoint
     while len(rows) < args.il_steps:
         if len(rows) >= mid and "loss_before" not in probe:
@@ -106,22 +129,33 @@ def il_soak(args, cfg, out):
             )
             probe["saved_at"] = len(rows)
             probe["batch"] = _probe_batch(trainer, cfg)
-            m = orig_step(
-                trainer.trainable, trainer.frozen, trainer.opt_state,
+            probe["loss_before"] = float(np.asarray(probe_loss(
+                trainer.trainable, trainer.frozen,
                 policy_mod.batched_init_state(cfg, 1), probe["batch"],
-            )[3]
-            probe["loss_before"] = float(np.asarray(m["loss"], np.float32))
-        budget = args.il_steps - len(rows)
-        trainer.train_episode(max_steps=min(budget, cfg.train.max_traj_len))
+            ), np.float32))
+        if "loss_before" not in probe:
+            # land an episode boundary exactly on the midpoint so the
+            # save+probe above always triggers
+            budget = min(mid - len(rows), cfg.train.max_traj_len)
+        else:
+            budget = min(args.il_steps - len(rows), cfg.train.max_traj_len)
+        trainer.train_episode(max_steps=budget)
 
-    # resume into a FRESH trainer; the probe batch must reproduce the loss
-    trainer2 = VLNTrainer(params, cfg, feed)
+    # resume into a FRESH trainer; the probe batch must reproduce the loss.
+    # trainer 1 is freed FIRST (two 9.7 GB policy trees don't coexist in
+    # 16 GB HBM), and its donated steps consumed the original `params`
+    # buffers anyway — re-init from the same seed (identical frozen tree).
+    import gc
+
+    del trainer, orig_step, timed_step
+    gc.collect()
+    params2 = policy_mod.init_policy_params(jax.random.PRNGKey(0), cfg)
+    trainer2 = VLNTrainer(params2, cfg, feed)
     it = trainer2.resume(ckpt_dir)
-    m2 = trainer2._step_fn(
-        trainer2.trainable, trainer2.frozen, trainer2.opt_state,
+    loss_after = float(np.asarray(probe_loss(
+        trainer2.trainable, trainer2.frozen,
         policy_mod.batched_init_state(cfg, 1), probe["batch"],
-    )[3]
-    loss_after = float(np.asarray(m2["loss"], np.float32))
+    ), np.float32))
     _emit(out, {
         "phase": "il_resume_check", "resumed_iter": it,
         "loss_before": probe["loss_before"], "loss_after": loss_after,
@@ -203,7 +237,14 @@ def pretrain_soak(args, cfg, out):
     ).sample_scene()
 
     def probe_loss(r):
-        batch = r.build_batch(probe_scene, r.params["clip"])
+        # build_batch folds r.it into its synthetic-supervision rng — pin it
+        # so both sides of the resume check see the IDENTICAL probe batch
+        old_it = r.it
+        r.it = 10 ** 6
+        try:
+            batch = r.build_batch(probe_scene, r.params["clip"])
+        finally:
+            r.it = old_it
         trainable = {"fields": r.params["fields"], "render": r.params["render"]}
         r._ensure_opt(trainable)
         step = r._get_step(posed="intrinsics" in probe_scene)
@@ -282,11 +323,31 @@ def main(argv=None):
     cfg = bench._config(args.scale)
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     os.makedirs(args.workdir, exist_ok=True)
+
+    if not args.skip_il and not args.skip_pretrain:
+        # one phase per PROCESS: the pretrain runner's live buffers +
+        # compiled workspaces and the 9.7 GB IL policy tree do not coexist
+        # in 16 GB HBM (observed RESOURCE_EXHAUSTED when run in-process)
+        import subprocess
+
+        base = [
+            sys.executable, os.path.abspath(__file__), "--out", args.out,
+            "--il-steps", str(args.il_steps),
+            "--pretrain-iters", str(args.pretrain_iters),
+            "--frames", str(args.frames), "--scale", args.scale,
+            "--lr", str(args.lr), "--seed", str(args.seed),
+            "--workdir", args.workdir,
+        ]
+        rc1 = subprocess.call(base + ["--skip-il"])
+        rc2 = subprocess.call(base + ["--skip-pretrain"])
+        raise SystemExit(rc1 or rc2)
+
     with open(args.out, "a") as out:
         _emit(out, {
             "phase": "meta", "backend": jax.default_backend(),
             "scale": args.scale, "il_steps": args.il_steps,
             "pretrain_iters": args.pretrain_iters, "lr": args.lr,
+            "running": "pretrain" if args.skip_il else "il",
         })
         if not args.skip_pretrain:
             pretrain_soak(args, cfg, out)
