@@ -279,7 +279,11 @@ def _phase_breakdown(runner, params, cfg, state, obs, hist, rep, B, steps=6,
     no_pg = jnp.full((B, new_tok), -1, jnp.int32)
     pg = no_pg if prev_gen is None else jnp.asarray(prev_gen)
 
-    rgb, depth = rep(obs.rgb), rep(obs.depth)
+    from dynam3d_tpu.runtime.episode import EpisodeRunner as _ER
+
+    # same uint16 wire dtype the headline loop uploads, so this reuses the
+    # headline's compiled perceive instead of compiling an f32 twin
+    rgb, depth = rep(obs.rgb), rep(_ER.pack_depth(obs.depth))
     pos, hd = rep(obs.position), jnp.asarray(
         np.full((B,), obs.heading, np.float32)
     )
@@ -937,9 +941,11 @@ def main():
     def rep(x):
         return jnp.asarray(np.broadcast_to(x[None], (B,) + x.shape))
 
+    pack_depth = EpisodeRunner.pack_depth  # uint16 wire, dequant on-device
+
     def one_step(state, obs, hist):
         rgb = rep(obs.rgb)
-        depth = rep(obs.depth)
+        depth = rep(pack_depth(obs.depth))
         pos = rep(obs.position)
         hd = jnp.asarray(np.full((B,), obs.heading, np.float32))
         ids, tvalid, _ = runner._prompt_ids([obs.instruction] * B, [hist] * B)
@@ -966,7 +972,7 @@ def main():
     lat, lat_sync, perc, uplds, rtts = [], [], [], [], []
     st = out.state
     rgb = rep(obs.rgb)
-    depth = rep(obs.depth)
+    depth = rep(pack_depth(obs.depth))
     pos = rep(obs.position)
     hd = jnp.asarray(np.full((B,), obs.heading, np.float32))
     _sync(rgb)
@@ -1000,7 +1006,7 @@ def main():
         prev_g = g
         obs, _, _ = feed.step((0.1, 0.25))
         rgb = rep(obs.rgb)
-        depth = rep(obs.depth)
+        depth = rep(pack_depth(obs.depth))
         pos = rep(obs.position)
         hd = jnp.asarray(np.full((B,), obs.heading, np.float32))
         ids, tvalid, _ = runner._prompt_ids([obs.instruction] * B, [hist] * B)
@@ -1012,7 +1018,7 @@ def main():
         obs, _, _ = feed.step((0.1, 0.25))
         t0 = time.time()
         rgb = rep(obs.rgb)
-        depth = rep(obs.depth)
+        depth = rep(pack_depth(obs.depth))
         pos = rep(obs.position)
         hd = jnp.asarray(np.full((B,), obs.heading, np.float32))
         _sync(rgb), _sync(depth), _sync(pos)

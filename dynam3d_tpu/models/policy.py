@@ -119,6 +119,12 @@ def perceive(
     Port of Dynam3D_VLN.forward's perception half
     (Policy_Dynam3D_VLN.py:331-394).
     """
+    if depth_raw.dtype == jnp.uint16:
+        # wire format: depth crosses the host->device link packed uint16
+        # (1/65535 quantization of the [0,1] normalized range = 0.15 mm at
+        # the 10 m sensor scale, far below sensor noise), halving the
+        # dominant tunnel upload; dequantized here on-device
+        depth_raw = depth_raw.astype(jnp.float32) * (1.0 / 65535.0)
     f = cfg.fields
     B, V = rgb.shape[0], rgb.shape[1]
     H, W = f.input_height, f.input_width

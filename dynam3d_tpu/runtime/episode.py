@@ -79,11 +79,20 @@ class EpisodeRunner:
 
     # ------------------------------------------------------------------
     @staticmethod
+    def pack_depth(depth: np.ndarray) -> np.ndarray:
+        """Pack normalized [0,1] depth to the uint16 wire format (dequantized
+        on-device at the top of policy.perceive); halves the host->device
+        copy, the dominant wire term on a tunneled chip."""
+        return np.clip(
+            np.round(np.asarray(depth, np.float32) * 65535.0), 0.0, 65535.0
+        ).astype(np.uint16)
+
+    @staticmethod
     def _upload(o) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Begin the async host->device copy of one observation."""
         return (
             jax.device_put(o.rgb),
-            jax.device_put(np.asarray(o.depth, np.float32)),
+            jax.device_put(EpisodeRunner.pack_depth(o.depth)),
             jax.device_put(np.asarray(o.position, np.float32)),
         )
 

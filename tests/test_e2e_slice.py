@@ -105,6 +105,47 @@ def test_perceive_builds_memory_and_tokens(setup):
         assert inst_valid[b][owned].all()
 
 
+def test_uint16_depth_wire_matches_f32(setup):
+    """The uint16 depth wire format (EpisodeRunner.pack_depth, dequantized at
+    the top of policy.perceive) must produce the same memory tables and
+    multimodal tokens as the f32 path within quantization tolerance
+    (1/65535 of the normalized range = 0.15 mm at the 10 m sensor scale)."""
+    cfg, params = setup
+    B, V = 1, 1
+    rng = np.random.default_rng(7)
+    rgb = jnp.asarray(rng.integers(0, 255, (B, V, 56, 56, 3), dtype=np.uint8))
+    depth_f32 = rng.uniform(0.05, 0.9, (B, V, 32, 32)).astype(np.float32)
+    packed = EpisodeRunner.pack_depth(depth_f32)
+    assert packed.dtype == np.uint16
+    # round-trip quantization bound
+    assert np.abs(packed.astype(np.float32) / 65535.0 - depth_f32).max() <= (
+        0.5 / 65535.0 + 1e-7
+    )
+    pos = jnp.asarray(np.tile(np.float32([1.0, 1.25, 2.0]), (B, 1)))
+    hd = jnp.zeros((B,), jnp.float32)
+    state = policy_mod.batched_init_state(cfg, B)
+    out_f = policy_mod.perceive(params, cfg, state, jnp.asarray(rgb),
+                                jnp.asarray(depth_f32), pos, hd)
+    out_u = policy_mod.perceive(params, cfg, state, jnp.asarray(rgb),
+                                jnp.asarray(packed), pos, hd)
+    np.testing.assert_array_equal(
+        np.asarray(out_f.mm_valid), np.asarray(out_u.mm_valid)
+    )
+    # the <=1/65535 depth shift moves patch positions by <=0.15 mm, which
+    # the position-MLP + aggregator stack amplifies to ~1e-2 in token
+    # space (0.75% of elements at tiny dims); membership (mm_valid) must
+    # not flip, token values get the amplified bound
+    np.testing.assert_allclose(
+        np.asarray(out_f.mm_tokens, np.float32),
+        np.asarray(out_u.mm_tokens, np.float32),
+        rtol=0, atol=5e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_f.state.patch_pos), np.asarray(out_u.state.patch_pos),
+        rtol=0, atol=1e-3,
+    )
+
+
 def test_closed_loop_episode_runs(setup):
     cfg, params = setup
     feeds = [

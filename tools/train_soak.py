@@ -133,6 +133,17 @@ def il_soak(args, cfg, out):
                 trainer.trainable, trainer.frozen,
                 policy_mod.batched_init_state(cfg, 1), probe["batch"],
             ), np.float32))
+            # persist the probe inputs: the resume check runs in a FRESH
+            # process (building a second trainer next to this one OOMed
+            # 16 GB HBM even after del+gc — observed r5)
+            np.savez(
+                os.path.join(args.workdir, "il_probe.npz"),
+                **{k: np.asarray(v)
+                   for k, v in probe["batch"]._asdict().items()},
+            )
+            with open(os.path.join(args.workdir, "il_probe.json"), "w") as f:
+                json.dump({"loss_before": probe["loss_before"],
+                           "saved_at": probe["saved_at"]}, f)
         if "loss_before" not in probe:
             # land an episode boundary exactly on the midpoint so the
             # save+probe above always triggers
@@ -141,26 +152,24 @@ def il_soak(args, cfg, out):
             budget = min(args.il_steps - len(rows), cfg.train.max_traj_len)
         trainer.train_episode(max_steps=budget)
 
-    # resume into a FRESH trainer; the probe batch must reproduce the loss.
-    # trainer 1 is freed FIRST (two 9.7 GB policy trees don't coexist in
-    # 16 GB HBM), and its donated steps consumed the original `params`
-    # buffers anyway — re-init from the same seed (identical frozen tree).
+    # bit-compat resume check in a fresh process (fresh HBM): this
+    # process's trainer + compiled workspaces and the resumed tree do
+    # not coexist on a 16 GB chip — free ours first, then hand off
     import gc
+    import subprocess
 
+    trainer._step_fn = None
     del trainer, orig_step, timed_step
+    probe.pop("batch", None)
     gc.collect()
-    params2 = policy_mod.init_policy_params(jax.random.PRNGKey(0), cfg)
-    trainer2 = VLNTrainer(params2, cfg, feed)
-    it = trainer2.resume(ckpt_dir)
-    loss_after = float(np.asarray(probe_loss(
-        trainer2.trainable, trainer2.frozen,
-        policy_mod.batched_init_state(cfg, 1), probe["batch"],
-    ), np.float32))
-    _emit(out, {
-        "phase": "il_resume_check", "resumed_iter": it,
-        "loss_before": probe["loss_before"], "loss_after": loss_after,
-        "bit_compatible": loss_after == probe["loss_before"],
-    })
+    rc = subprocess.call([
+        sys.executable, os.path.abspath(__file__), "--out", args.out,
+        "--scale", args.scale, "--lr", str(args.lr),
+        "--seed", str(args.seed), "--workdir", args.workdir,
+        "--il-resume-check",
+    ])
+    if rc:
+        _emit(out, {"phase": "il_resume_check", "error": f"child rc={rc}"})
 
     losses = [r["loss"] for r in rows if np.isfinite(r["loss"])]
     k = max(len(losses) // 4, 1)
@@ -197,6 +206,87 @@ def _probe_batch(trainer, cfg):
         label_ids=labels, label_mask=lmask,
         turn_weight=jnp.asarray([1.0], jnp.float32),
     )
+
+
+def il_resume_check(args, cfg):
+    """Child-process half of the IL bit-compat check: restore the midpoint
+    checkpoint into a fresh process and reproduce the probe loss.
+
+    Memory-lean by construction: the policy tree is initialized once
+    (identical frozen subtree — same seed), the trainable leaves are then
+    deleted from HBM, and the checkpoint restores into an ABSTRACT
+    template so old+new trainable (2 x 7.4 GB bf16 Phi-3) never coexist.
+    """
+    import gc
+
+    import jax
+    import jax.numpy as jnp
+
+    from dynam3d_tpu.config import apply_opts
+    from dynam3d_tpu.models import policy as policy_mod
+    from dynam3d_tpu.models.vlm.tokenizer import ByteTokenizer, build_prompt
+    from dynam3d_tpu.runtime import checkpoint as ckpt_mod
+    from dynam3d_tpu.runtime import trainer_vln
+
+    cfg = apply_opts(cfg, [
+        f"train.lr={args.lr}",
+        "train.use_waypoint_predictor=false",
+    ])
+    with open(os.path.join(args.workdir, "il_probe.json")) as f:
+        meta = json.load(f)
+    d = np.load(os.path.join(args.workdir, "il_probe.npz"))
+    batch = trainer_vln.TrainBatch(
+        **{k: jnp.asarray(d[k]) for k in trainer_vln.TrainBatch._fields}
+    )
+
+    tok = ByteTokenizer(cfg.llava.phi3.vocab_size)
+    splice = tok.encode(build_prompt("x", ["none\n"] * 4, 1)).index(tok.image_id)
+
+    params = policy_mod.init_policy_params(jax.random.PRNGKey(0), cfg)
+    trainable, frozen = trainer_vln.split_params(params)
+    del params
+    tr_template = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), trainable
+    )
+    opt_template = jax.eval_shape(
+        trainer_vln.make_optimizer(cfg).init, tr_template
+    )
+    for leaf in jax.tree_util.tree_leaves(trainable):
+        leaf.delete()
+    del trainable
+    gc.collect()
+
+    path = ckpt_mod.newest_checkpoint(os.path.join(args.workdir, "il_ckpt"))
+    restored = ckpt_mod.load_checkpoint(
+        path, {"trainable": tr_template, "opt_state": opt_template}
+    )
+
+    @jax.jit
+    def probe_loss(trainable, frozen, field_state, batch):
+        p = trainer_vln.merge_params(trainable, frozen)
+        pout = policy_mod.perceive(
+            p, cfg, field_state, batch.rgb, batch.depth,
+            batch.position, batch.heading,
+        )
+        tl = policy_mod.train_loss(
+            p, cfg, batch.input_ids, batch.text_valid,
+            pout.mm_tokens, pout.mm_valid,
+            batch.label_ids, batch.label_mask, batch.turn_weight,
+            splice,
+        )
+        return tl.loss
+
+    loss_after = float(np.asarray(probe_loss(
+        restored["trainable"], frozen,
+        policy_mod.batched_init_state(cfg, 1), batch,
+    ), np.float32))
+    with open(args.out, "a") as out:
+        _emit(out, {
+            "phase": "il_resume_check",
+            "resumed_iter": ckpt_mod.checkpoint_step(path),
+            "loss_before": meta["loss_before"], "loss_after": loss_after,
+            "bit_compatible": loss_after == meta["loss_before"],
+        })
 
 
 def pretrain_soak(args, cfg, out):
@@ -305,6 +395,8 @@ def main(argv=None):
     p.add_argument("--workdir", default="/tmp/train_soak_r05")
     p.add_argument("--skip-il", action="store_true")
     p.add_argument("--skip-pretrain", action="store_true")
+    p.add_argument("--il-resume-check", action="store_true",
+                   help="child mode: run only the IL bit-compat check")
     args = p.parse_args(argv)
 
     import jax
@@ -323,6 +415,10 @@ def main(argv=None):
     cfg = bench._config(args.scale)
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     os.makedirs(args.workdir, exist_ok=True)
+
+    if args.il_resume_check:
+        il_resume_check(args, cfg)
+        return
 
     if not args.skip_il and not args.skip_pretrain:
         # one phase per PROCESS: the pretrain runner's live buffers +
