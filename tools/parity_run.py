@@ -211,7 +211,9 @@ def run_episode(params, cfg, feed, out_dir, max_steps, dump_logits=False):
     with open(steps_path, "w") as sf:
         for stepk in range(max_steps):
             rgb = jnp.asarray(obs.rgb)[None]
-            depth = jnp.asarray(np.asarray(obs.depth, np.float32))[None]
+            # uint16 wire format, matching EpisodeRunner._upload — shares
+            # the production-compiled programs instead of an f32 twin
+            depth = jnp.asarray(EpisodeRunner.pack_depth(obs.depth))[None]
             pos = jnp.asarray(np.asarray(obs.position, np.float32))[None]
             hd = jnp.asarray(np.asarray([obs.heading], np.float32))
             ids, tvalid, _ = runner._prompt_ids(
